@@ -1,0 +1,69 @@
+"""Frozen dedup configuration.
+
+BASELINE.json demands dup-pair recall >= 0.99 "at identical
+shingle/signature config" — so the config is a frozen, hashable
+dataclass whose fingerprint is recorded in lineage/metrics, making
+"identical config" checkable rather than aspirational.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """All knobs of the near-duplicate pipeline, pinned.
+
+    MinHash/LSH parameterization: ``num_perm = bands * rows_per_band``.
+    The LSH S-curve threshold is approximately ``(1/bands)**(1/rows)``;
+    with bands=32, rows=4 the curve crosses ~0.42, giving collision
+    probability > 0.9999 for pairs at Jaccard >= 0.8 — comfortably
+    above the 0.99 recall gate for near-dups planted at 1-5%% token
+    edits (Jaccard ~0.85+, FIXTURES.md §2).
+    """
+
+    # shingling
+    shingle_k: int = 3            # word k-grams
+    # MinHash
+    num_perm: int = 128
+    lsh_bands: int = 32
+    lsh_rows: int = 4             # num_perm == lsh_bands * lsh_rows
+    # SimHash
+    simhash_bits: int = 64
+    simhash_tables: int = 4       # bit-chunk tables for Hamming-ball probe
+    simhash_max_hamming: int = 3  # pigeonhole: d < tables ⇒ one chunk equal
+    # verification. τ is on SHINGLE-level Jaccard: a 5% token-edit dup
+    # destroys ~k shingles per edit, so token-level 95% similarity ≈
+    # shingle Jaccard (1-0.15)/(1+0.15) ≈ 0.74; τ=0.68 keeps those
+    # (recall gate) while random same-vocab docs sit far below.
+    jaccard_threshold: float = 0.68
+    # skew control for hot LSH bands (boilerplate shingles)
+    max_band_size: int = 200      # bands larger than this are capped
+    band_salt_buckets: int = 8
+    # determinism
+    seed: int = 42
+    # large-scale guards (reference 1 MiB record cap, storage.cpp:516)
+    max_text_bytes: int = 1 << 20
+
+    def __post_init__(self) -> None:
+        if self.num_perm != self.lsh_bands * self.lsh_rows:
+            raise ValueError(
+                f"num_perm ({self.num_perm}) must equal "
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows})"
+            )
+        if self.simhash_max_hamming >= self.simhash_tables:
+            raise ValueError(
+                "simhash_max_hamming must be < simhash_tables for the "
+                "pigeonhole chunk-probe to be exhaustive"
+            )
+
+    def fingerprint(self) -> str:
+        """Stable hash of the full config — recorded in lineage."""
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()

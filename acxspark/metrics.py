@@ -1,0 +1,56 @@
+"""Pipeline metrics & lineage — the audit-log analog.
+
+The reference appends an audit CSV line per mutating command
+(reference src/storage.cpp:150-154) and a JSONL audit event log
+(reference src/audit.cpp:21-36). Distributed equivalent: per-stage
+``DataFrame.observe`` metrics (docs scanned, pairs emitted, clusters
+merged — the north_rule counter set) collected on action completion
+and appended, with the frozen DedupConfig fingerprint, to a JSONL
+lineage log. observe() rides the existing job — zero extra passes.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+class Lineage:
+    def __init__(self, path: str | Path | None = None, config_fingerprint: str = ""):
+        self.path = Path(path) if path else None
+        self.fp = config_fingerprint
+        self.observations: dict[str, Observation] = {}
+
+    def observe(self, df: DataFrame, stage: str, **aggs) -> DataFrame:
+        """Attach named metrics to a stage. Default: row count."""
+        if not aggs:
+            aggs = {"rows": F.count(F.lit(1))}
+        # Observation names must be unique within a query plan; two
+        # pipeline runs composed into one plan (e.g. idempotence check)
+        # would otherwise collide.
+        obs = Observation(f"{stage}-{uuid.uuid4().hex[:8]}")
+        self.observations[stage] = obs
+        return df.observe(obs, *[v.alias(k) for k, v in aggs.items()])
+
+    def flush(self) -> list[dict]:
+        """Collect all fired observations and append to the log."""
+        out = []
+        for stage, obs in self.observations.items():
+            try:
+                vals = obs.get
+            except Exception:
+                continue  # stage never executed
+            rec = {"stage": stage, "config": self.fp, "ts": time.time(), **vals}
+            out.append(rec)
+        if self.path and out:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            with open(self.path, "a") as f:
+                for rec in out:
+                    f.write(json.dumps(rec) + "\n")
+        self.observations.clear()
+        return out

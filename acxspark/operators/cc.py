@@ -1,0 +1,115 @@
+"""Connected components via alternating large-star / small-star joins.
+
+Stage 5: candidate edges that survive verification are clustered so
+every document gets a cluster id = the minimum doc id in its component
+— which reproduces the reference's first-wins canonical-survivor
+semantics (reference src/cli.cpp:303: first occurrence wins) and its
+OR-key transitive identity (reference src/storage.cpp:562-570: dup by
+email OR phone ⇒ same identity ⇒ transitive closure, SURVEY §7.3.2).
+
+Algorithm: Kiveris et al., "Connected Components in MapReduce and
+Beyond" (SOCC'14, public) — O(log n) rounds of two equi-join steps:
+
+- large-star: attach every neighbor larger than u to the minimum of
+  u's neighborhood (including u);
+- small-star: orient edges toward the smaller endpoint and attach all
+  smaller neighbors + u itself to the minimum.
+
+Each round is groupBy(min) + join — partial aggregation map-side, no
+windows. Lineage is truncated every round via localCheckpoint, and
+optionally committed to a Catalog snapshot so a killed job resumes
+from the last finished round (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    e2 = edges.select(F.col("u"), F.col("v")).union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = e2.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.withColumn("mn", F.least("mn", "u"))
+    return (
+        e2.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+    nbrs = (
+        e.join(mins, "u")
+        .filter(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    )
+    self_edges = mins.select(F.col("u"), F.col("mn").alias("v"))
+    return nbrs.union(self_edges).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor, not sum: overflow-free under ANSI mode and order-insensitive
+    row = edges.select(F.xxhash64("u", "v").alias("x")).agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor("x"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50,
+                         catalog=None, table: str = "cc_edges") -> DataFrame:
+    """edges(u, v) → labels(u, component) where component = min id.
+
+    Ids may be any orderable type (string urls or long doc ids).
+    Converges in O(log n) rounds; each round's output is checkpointed.
+    With ``catalog`` set, every round commits a snapshot named
+    ``{table}`` and resume starts from the last committed round.
+    """
+    e = edges.selectExpr(f"{edges.columns[0]} as u", f"{edges.columns[1]} as v")
+    e = e.filter(F.col("u") != F.col("v")).distinct()
+
+    start_iter = 0
+    if catalog is not None and catalog.has(table):
+        e = catalog.read(e.sparkSession, table)
+        start_iter = catalog.latest_meta(table).get("iteration", 0)
+
+    prev = None
+    for i in range(start_iter, max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if catalog is not None:
+            catalog.write(table, e, meta={"iteration": i + 1, "checksum": list(cur)})
+        if prev == cur:
+            break
+        prev = cur
+
+    # converged star edges point node → root; roots label themselves
+    labels = e.select(F.col("u"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("u")).distinct().withColumn(
+        "component", F.col("u")
+    )
+    return labels.union(roots).groupBy("u").agg(F.min("component").alias("component"))
+
+
+def cluster_assignments(all_ids: DataFrame, id_col: str,
+                        edges: DataFrame, **kw) -> DataFrame:
+    """Every doc gets a cluster id; singletons are their own cluster
+    (first-wins canonical = min id, reference src/cli.cpp:303 parity)."""
+    comp = connected_components(edges, **kw)
+    return (
+        all_ids.select(F.col(id_col))
+        .join(comp.withColumnRenamed("u", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )

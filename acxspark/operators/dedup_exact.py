@@ -1,0 +1,93 @@
+"""Exact deduplication — order-stable first-wins, OR-key transitive.
+
+Parity with the reference's three exact tiers:
+
+1. ``first_wins``: reference ``acx dedupe`` (src/cli.cpp:289-308) —
+   stream order, first occurrence of a key wins, rows with a NULL key
+   always kept. Under distribution "stream order" needs an explicit
+   ordinal column (SURVEY §7.3.1): winner = row_number() over
+   (partition by key order by seq) == 1 — NOT bare dropDuplicates,
+   whose winner is partition-placement-dependent.
+
+2. ``exact_text_dedup``: content identity via sha2(text, 256) — the
+   hash-groupBy exact tier of the web pipeline. Group sizes are
+   bounded (dup cluster sizes), so the window over the hash key is
+   safe at scale; the heavy text column never shuffles (only hash +
+   id + seq do, then a semi-join back).
+
+3. ``or_key_components``: reference import dedup treats email-dup OR
+   phone-dup as the same identity (src/storage.cpp:562-570) — a
+   transitive closure, routed through connected components over the
+   bipartite record↔key graph (SURVEY §7.3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from acxspark.operators.cc import connected_components
+
+
+def first_wins(df: DataFrame, key_col: str, seq_col: str) -> DataFrame:
+    """Keep the first-by-seq row per key; NULL keys always survive
+    (reference src/cli.cpp:303-304: unparseable lines pass through)."""
+    w = Window.partitionBy(key_col).orderBy(F.col(seq_col).asc())
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col(key_col).isNull() | (F.col("_rn") == 1)).drop("_rn")
+    )
+
+
+def exact_text_dedup(df: DataFrame, id_col: str, text_col: str = "text",
+                     seq_col: str | None = None) -> DataFrame:
+    """Survivors of content-hash dedup; winner = min seq (or min id).
+
+    Shuffle carries only (hash, id, seq); survivors re-join the full
+    rows by id (semi join) so 100 TB of text bytes move zero times.
+    """
+    order = seq_col or id_col
+    slim = df.select(F.col(id_col), F.col(order).alias("_ord"),
+                     F.sha2(F.col(text_col), 256).alias("_h"))
+    w = Window.partitionBy("_h").orderBy(F.col("_ord").asc(), F.col(id_col).asc())
+    winners = slim.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).select(id_col)
+    return df.join(winners, id_col, "left_semi")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(hash, n_docs, doc_ids) for groups with >1 member — the
+    hash-groupBy exact-dup report."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("text_sha"), F.col(id_col))
+        .groupBy("text_sha")
+        .agg(F.count("*").alias("n_docs"),
+             F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def or_key_components(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
+    """Transitive OR-key identity → (id, cluster_id).
+
+    Build bipartite edges record→("col:value") for each non-null key,
+    run CC, then strip key nodes. Key nodes are prefixed so they sort
+    AFTER real ids and never become component minima... which cannot be
+    guaranteed for arbitrary ids — so instead the component label is
+    re-derived as min(record id) per component afterwards.
+    """
+    edges = None
+    for kc in key_cols:
+        e = df.select(
+            F.col(id_col).cast("string").alias("u"),
+            F.concat(F.lit(f"\x01{kc}:"), F.col(kc).cast("string")).alias("v"),
+        ).filter(F.col(kc).isNotNull() & (F.col(kc).cast("string") != ""))
+        edges = e if edges is None else edges.union(e)
+    comp = connected_components(edges)
+    records = comp.filter(~F.col("u").startswith("\x01"))
+    canon = records.groupBy("component").agg(F.min("u").alias("cluster_id"))
+    return (
+        records.join(canon, "component")
+        .select(F.col("u").alias(id_col), F.col("cluster_id"))
+    )

@@ -1,0 +1,106 @@
+"""SimHash 64-bit fingerprints + Hamming-ball candidate lookup.
+
+Stage 3b (complementary recall to MinHash/LSH): a document's SimHash
+is the sign-vector of the sum of its shingle hashes' bit-vectors
+(Charikar 2002, public). Near-identical docs differ in few bits;
+candidates are found by the pigeonhole chunk probe: split the 64 bits
+into ``cfg.simhash_tables`` chunks — any pair within Hamming distance
+``d < tables`` shares at least one exact chunk, so an equi-join per
+chunk is exhaustive for the ball (no custom index needed; it's ``t``
+shuffled joins on short int keys).
+
+numpy bit-count over Arrow batches; no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+from acxspark.config import DEFAULT_CONFIG, DedupConfig
+from acxspark.operators.shingle import shingle_hashes
+
+
+def simhash_batch(shingle_lists: pd.Series) -> pd.Series:
+    out = []
+    weights_template = np.arange(64, dtype=np.uint64)
+    for sh in shingle_lists:
+        if sh is None or len(sh) == 0:
+            out.append(0)
+            continue
+        s = np.asarray(sh, dtype=np.int64).view(np.uint64)
+        # bit matrix (N, 64): bit b of hash i
+        bits = (s[:, None] >> weights_template[None, :]) & np.uint64(1)
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(s)  # +1/-1 votes
+        fp = int(np.bitwise_or.reduce((votes > 0).astype(np.uint64) << weights_template))
+        out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)  # reinterpret as int64
+    return pd.Series(out, dtype="int64")
+
+
+@pandas_udf(T.LongType())
+def _simhash_udf(sh: pd.Series) -> pd.Series:
+    return simhash_batch(sh)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text",
+                 cfg: DedupConfig = DEFAULT_CONFIG,
+                 out_col: str = "simhash") -> DataFrame:
+    sh = shingle_hashes(F.col(text_col), cfg.shingle_k, cfg.seed)
+    return df.withColumn(out_col, _simhash_udf(sh))
+
+
+def hamming_distance(a, b) -> Column:
+    """popcount(a XOR b) — JVM-side via bit_count."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def chunk_keys(sim_col, cfg: DedupConfig = DEFAULT_CONFIG) -> Column:
+    """array<struct<chunk_idx:int, chunk_val:long>> of bit chunks."""
+    t = cfg.simhash_tables
+    width = 64 // t
+    mask = (1 << width) - 1
+    # t is a compile-time constant → unrolled python loop, still one
+    # JVM expression tree (shift amounts must be int literals)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftrightunsigned(sim_col, i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk_val"),
+            )
+            for i in range(t)
+        ]
+    )
+
+
+def simhash_candidate_pairs(df: DataFrame, id_col: str,
+                            sim_col: str = "simhash",
+                            cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Pairs within Hamming distance <= cfg.simhash_max_hamming.
+
+    Exhaustive by pigeonhole (d < tables). Joined per shared chunk,
+    then verified with the exact popcount filter JVM-side.
+    """
+    keyed = (
+        df.select(F.col(id_col), F.col(sim_col),
+                  F.explode(chunk_keys(F.col(sim_col), cfg)).alias("c"))
+        .select(id_col, sim_col, F.col("c.chunk_idx").alias("chunk_idx"),
+                F.col("c.chunk_val").alias("chunk_val"))
+    )
+    a = keyed.select(F.col("chunk_idx"), F.col("chunk_val"),
+                     F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"))
+    b = keyed.select(F.col("chunk_idx"), F.col("chunk_val"),
+                     F.col(id_col).alias("id_b"), F.col(sim_col).alias("sim_b"))
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming_distance(F.col("sim_a"), F.col("sim_b")) <= cfg.simhash_max_hamming)
+        .select("id_a", "id_b",
+                hamming_distance(F.col("sim_a"), F.col("sim_b")).alias("hamming"))
+        .distinct()
+    )

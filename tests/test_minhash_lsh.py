@@ -1,0 +1,81 @@
+"""MinHash/LSH/SimHash unit behavior: signature determinism, Jaccard
+estimation accuracy, band-key candidate generation, Hamming probe."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from acxspark.config import DedupConfig
+from acxspark.operators.lsh import band_keys, candidate_pairs
+from acxspark.operators.minhash import minhash_batch, with_minhash
+from acxspark.operators.simhash import simhash_batch, simhash_candidate_pairs, with_simhash
+
+CFG = DedupConfig()
+
+
+def test_minhash_deterministic():
+    sh = pd.Series([[1, 2, 3, 4], [1, 2, 3, 4], [9, 10, 11]])
+    a = minhash_batch(sh, 128, 42)
+    b = minhash_batch(sh, 128, 42)
+    assert a[0] == b[0] == a[1]
+    assert a[0] != a[2]
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(0)
+    base = list(rng.integers(0, 1 << 60, size=200))
+    # true Jaccard 0.8: |A∩B|=200 shared of 250 union
+    extra = list(rng.integers(0, 1 << 60, size=50))
+    a_set, b_set = base, base + extra
+    sigs = minhash_batch(pd.Series([a_set, b_set]), 256, 42)
+    est = np.mean(np.array(sigs[0]) == np.array(sigs[1]))
+    true_j = 200 / 250
+    assert abs(est - true_j) < 0.1
+
+
+def test_simhash_close_for_near_texts():
+    rng = np.random.default_rng(1)
+    base = list(rng.integers(0, 1 << 60, size=300))
+    perturbed = base[:-5] + list(rng.integers(0, 1 << 60, size=5))
+    fps = simhash_batch(pd.Series([base, perturbed]))
+    ham = bin((int(fps[0]) ^ int(fps[1])) & ((1 << 64) - 1)).count("1")
+    assert ham <= 10
+
+
+def test_lsh_finds_identical_and_skips_disjoint(spark):
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog again and again"),
+        ("b", "the quick brown fox jumps over the lazy dog again and again"),
+        ("c", "completely different words about mountains rivers and stars xyz"),
+    ]
+    df = with_minhash(spark.createDataFrame(rows, ["url", "text"]), cfg=CFG)
+    pairs = {(r["id_a"], r["id_b"]) for r in candidate_pairs(df, "url", cfg=CFG).collect()}
+    assert ("a", "b") in pairs
+    assert ("a", "c") not in pairs and ("b", "c") not in pairs
+
+
+def test_band_key_count(spark):
+    df = with_minhash(spark.createDataFrame([("a", "x y z w v u t s")], ["url", "text"]), cfg=CFG)
+    assert band_keys(df, "url", cfg=CFG).count() == CFG.lsh_bands
+
+
+def test_hot_band_cap(spark):
+    # 30 identical docs: every band bucket has 30 members; cap at 10 ⇒ 0 pairs
+    cfg = DedupConfig(max_band_size=10)
+    rows = [(f"u{i:02d}", "same words everywhere forever and ever amen") for i in range(30)]
+    df = with_minhash(spark.createDataFrame(rows, ["url", "text"]), cfg=cfg)
+    assert candidate_pairs(df, "url", cfg=cfg).count() == 0
+
+
+def test_simhash_candidates(spark):
+    words = [f"word{i}" for i in range(240)]
+    near = words[:120] + ["CHANGED"] + words[121:]  # 1 token of 240 edited
+    rows = [
+        ("a", " ".join(words)),
+        ("b", " ".join(near)),
+        ("c", " ".join(f"other{i}" for i in range(240))),
+    ]
+    df = with_simhash(spark.createDataFrame(rows, ["url", "text"]))
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_candidate_pairs(df, "url").collect()}
+    assert ("a", "b") in pairs
+    assert ("a", "c") not in pairs
