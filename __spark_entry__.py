@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship near-duplicate pipeline on sf0.001 documents.
+queries()     — one callable per implemented operator (SURVEY.md §2 +
+                graft training-data tier), from acxspark.queries.
+oracle_sql()  — DuckDB twins for every SQL-expressible query.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from acxspark import queries as Q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full near-dup pipeline (exact + MinHash/LSH + SimHash
+    + containment → CC clusters) over sf0.001 documents; returns one
+    row per cluster with its size and canonical (min) doc id."""
+    from acxspark.config import DedupConfig
+    from acxspark.plans.pipeline import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.col("text"),
+    )
+    res = run_pipeline(docs, cfg=DedupConfig(), text_col="text")
+    return (
+        res.clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"), F.min("url").alias("canonical_doc"))
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "n_docs",
+            F.col("canonical_doc").cast("bigint").alias("canonical_doc"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return Q.oracle_sql()

@@ -1,0 +1,125 @@
+"""Relational operators mirroring the reference's probe/merge/diff loops.
+
+Each hash-map probe in the reference becomes the canonical Spark join
+(SURVEY.md §2.3); all functions are pure DataFrame → DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def anti_probe(incoming: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """Keep incoming rows whose key matches NO existing row — the
+    reference's existence probe before insert (src/storage.cpp:97-114),
+    one left_anti join per key (email OR phone ⇒ chained anti-joins).
+    """
+    out = incoming
+    for k in keys:
+        out = out.join(existing.select(k).distinct(), k, "left_anti")
+    return out
+
+
+def merge_prefer_newer(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key: str,
+    ts_col: str,
+) -> DataFrame:
+    """Reference merge strategy ``prefer-newer`` (src/merge.cpp:46-78):
+    match by key; incoming replaces existing iff strictly newer by
+    ``ts_col`` (lexicographic ISO == chronological; here a real
+    timestamp); unmatched rows from both sides pass through.
+
+    Emits all of existing's columns plus ``src`` ∈
+    {existing, incoming}. Full-outer hash join on the key — at scale
+    the incoming delta is usually small ⇒ broadcast it.
+    """
+    cols = existing.columns
+    e = existing.select(*[F.col(c).alias(f"e_{c}") for c in cols])
+    i = incoming.select(*[F.col(c).alias(f"i_{c}") for c in cols])
+    j = e.join(i, e[f"e_{key}"] == i[f"i_{key}"], "full_outer")
+    take_incoming = F.col(f"e_{key}").isNull() | (
+        F.col(f"i_{key}").isNotNull()
+        & (F.col(f"i_{ts_col}") > F.col(f"e_{ts_col}"))
+    )
+    out = j.select(
+        *[
+            F.when(take_incoming, F.col(f"i_{c}")).otherwise(F.col(f"e_{c}")).alias(c)
+            for c in cols
+        ],
+        F.when(take_incoming, F.lit("incoming")).otherwise(F.lit("existing")).alias("src"),
+    )
+    return out
+
+
+def merge_prefer_existing(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key: str,
+    enrich_col: str,
+) -> DataFrame:
+    """Reference strategy ``prefer-existing`` (src/merge.cpp:64-72):
+    existing rows win, but an empty ``enrich_col`` is filled from the
+    incoming match; unmatched incoming rows are appended."""
+    cols = existing.columns
+    i = incoming.select(
+        F.col(key).alias(f"_ik_{key}"),
+        F.col(enrich_col).alias("_i_enrich"),
+    )
+    enriched = (
+        existing.join(i, existing[key] == F.col(f"_ik_{key}"), "left")
+        .select(
+            *[
+                (
+                    F.when(
+                        (F.col(c).isNull() | (F.col(c) == "")) & F.col("_i_enrich").isNotNull(),
+                        F.col("_i_enrich"),
+                    ).otherwise(F.col(c)).alias(c)
+                    if c == enrich_col
+                    else F.col(c)
+                )
+                for c in cols
+            ]
+        )
+    )
+    new_rows = incoming.join(existing.select(key), key, "left_anti").select(*cols)
+    return enriched.unionByName(new_rows)
+
+
+def diff_by_key(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Classify keys into added / removed / changed / unchanged — the
+    reference's full-outer diff (src/diff.cpp:44-80) as one join.
+
+    added   = key only in b; removed = key only in a;
+    changed = in both, any compare_col differs (NULL-safe).
+    """
+    # presence flags are sentinels from each join side, not data columns
+    # (a data column could be legitimately NULL on a present row)
+    ae = a.select(F.col(key), F.lit(1).alias("_in_a"),
+                  *[F.col(c).alias(f"a_{c}") for c in compare_cols])
+    be = b.select(F.col(key), F.lit(1).alias("_in_b"),
+                  *[F.col(c).alias(f"b_{c}") for c in compare_cols])
+    j = ae.join(be, key, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))
+    cls = (
+        F.when(F.col("_in_a").isNull(), F.lit("added"))
+        .when(F.col("_in_b").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(key), cls.alias("diff_class"))
+
+
+def set_difference(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Distinct rows of a not present in b (reference std::set_difference
+    diff of email sets, src/cli.cpp:318-321)."""
+    return a.exceptAll(b.distinct()).distinct()

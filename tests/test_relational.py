@@ -1,0 +1,89 @@
+"""Parity tests for the relational probe/merge/diff operators
+(reference src/storage.cpp:97-114, src/merge.cpp:46-78,
+src/diff.cpp:44-80)."""
+
+from __future__ import annotations
+
+import pytest
+
+from acxspark.operators import relational as R
+
+
+@pytest.fixture(scope="module")
+def contacts(spark):
+    existing = spark.createDataFrame(
+        [
+            ("a@x.com", "2025-01-02 00:00:00", "old-a"),
+            ("b@x.com", "2025-01-05 00:00:00", "old-b"),
+            ("c@x.com", "2025-01-01 00:00:00", ""),
+        ],
+        "email string, created_at string, note string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            ("a@x.com", "2025-01-03 00:00:00", "new-a"),   # newer → replaces
+            ("b@x.com", "2025-01-04 00:00:00", "new-b"),   # older → skipped
+            ("c@x.com", "2025-01-01 00:00:00", "enrich"),  # tie → existing
+            ("d@x.com", "2025-01-06 00:00:00", "new-d"),   # unmatched → added
+        ],
+        "email string, created_at string, note string",
+    )
+    return existing, incoming
+
+
+def test_merge_prefer_newer(contacts):
+    existing, incoming = contacts
+    out = {
+        r["email"]: (r["note"], r["src"])
+        for r in R.merge_prefer_newer(existing, incoming, "email", "created_at").collect()
+    }
+    assert out == {
+        "a@x.com": ("new-a", "incoming"),
+        "b@x.com": ("old-b", "existing"),
+        "c@x.com": ("", "existing"),  # equal ts → existing wins (merge.cpp:42-44 strict >)
+        "d@x.com": ("new-d", "incoming"),
+    }
+
+
+def test_merge_prefer_existing_enriches_empty_note(contacts):
+    existing, incoming = contacts
+    out = {
+        r["email"]: r["note"]
+        for r in R.merge_prefer_existing(existing, incoming, "email", "note").collect()
+    }
+    # existing rows win; only c's empty note is enriched; d appended
+    assert out == {
+        "a@x.com": "old-a",
+        "b@x.com": "old-b",
+        "c@x.com": "enrich",
+        "d@x.com": "new-d",
+    }
+
+
+def test_anti_probe_or_keys(spark):
+    existing = spark.createDataFrame(
+        [("a@x.com", "+111"), ("b@x.com", "+222")], "email string, phone string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            ("a@x.com", "+999"),  # email dup → skipped
+            ("n@x.com", "+222"),  # phone dup → skipped
+            ("n2@x.com", "+333"),  # fresh → kept
+        ],
+        "email string, phone string",
+    )
+    kept = R.anti_probe(incoming, existing, ["email", "phone"]).collect()
+    assert [(r["email"], r["phone"]) for r in kept] == [("n2@x.com", "+333")]
+
+
+def test_diff_by_key_classes(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k int, v string")
+    b = spark.createDataFrame([(2, "y"), (3, "zz"), (4, "w")], "k int, v string")
+    out = {r["k"]: r["diff_class"] for r in R.diff_by_key(a, b, "k", ["v"]).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_set_difference(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k int")
+    b = spark.createDataFrame([(3,), (4,)], "k int")
+    assert sorted(r["k"] for r in R.set_difference(a, b).collect()) == [1, 2]
