@@ -104,6 +104,60 @@ def near_dup_pairs(
     )
 
 
+def near_dup_pairs_blocked(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    sim_decimals: int = 4,
+) -> DataFrame:
+    """Same output as :func:`near_dup_pairs`, computed as one numpy
+    matmul per Arrow batch against a broadcast of the normalized
+    corpus matrix.
+
+    The zip_with/aggregate cosine is ~100 ns/element interpreted; the
+    matmul is BLAS. Each executor partition of B rows does one
+    (B × dim) @ (dim × N) multiply — this is the right physical shape
+    whenever the corpus matrix fits a broadcast (N ≲ 10^7 at 64 dims).
+    Above that, the LSH-bucketed path (:func:`lsh_near_dup_pairs`)
+    replaces the all-pairs scan entirely.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    pdf = corpus.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", corpus.schema[id_col].dataType),
+            T.StructField("id_b", corpus.schema[id_col].dataType),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def block(batches):
+        all_ids, all_mat = bc.value
+        order = {v: i for i, v in enumerate(all_ids)}
+        for pdf_b in batches:
+            if len(pdf_b) == 0:
+                continue
+            rows = np.array([order[v] for v in pdf_b[id_col]])
+            sims = np.round(all_mat[rows] @ all_mat.T, sim_decimals)
+            keep_r, keep_c = np.nonzero(sims >= threshold)
+            ia, ib = all_ids[rows[keep_r]], all_ids[keep_c]
+            mask = ia < ib
+            yield pd.DataFrame(
+                {"id_a": ia[mask], "id_b": ib[mask], "sim": sims[keep_r, keep_c][mask]}
+            )
+
+    return corpus.select(id_col).mapInPandas(block, schema=out_schema)
+
+
 # ------------------------------------------------------- LSH scale path
 
 

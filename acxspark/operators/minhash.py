@@ -70,15 +70,25 @@ def minhash_signature(shingles_col, cfg: DedupConfig = DEFAULT_CONFIG) -> Column
     return make_minhash_udf(cfg)(shingles_col)
 
 
-def with_minhash(df: DataFrame, text_col: str = "text",
+def with_minhash(df: DataFrame, text_col: str | None = "text",
                  cfg: DedupConfig = DEFAULT_CONFIG,
                  sig_col: str = "minhash",
-                 keep_shingles: bool = False) -> DataFrame:
+                 keep_shingles: bool = False,
+                 shingles_col: str | None = None) -> DataFrame:
     """text → shingles → signature; drops the shingle array unless the
-    verification stage downstream needs it (exact Jaccard re-check)."""
-    out = df.withColumn("shingles", shingle_hashes(F.col(text_col), cfg.shingle_k, cfg.seed))
-    out = out.withColumn(sig_col, minhash_signature(F.col("shingles"), cfg))
-    if not keep_shingles:
+    verification stage downstream needs it (exact Jaccard re-check).
+
+    Pass ``shingles_col`` to reuse an already-materialized shingle
+    array (the pipeline shares one shingle scan across tiers)."""
+    if shingles_col is None:
+        out = df.withColumn(
+            "shingles", shingle_hashes(F.col(text_col), cfg.shingle_k, cfg.seed)
+        )
+        shingles_col = "shingles"
+    else:
+        out = df
+    out = out.withColumn(sig_col, minhash_signature(F.col(shingles_col), cfg))
+    if not keep_shingles and shingles_col == "shingles":
         out = out.drop("shingles")
     return out
 

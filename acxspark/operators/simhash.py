@@ -48,8 +48,17 @@ def _simhash_udf(sh: pd.Series) -> pd.Series:
 
 def with_simhash(df: DataFrame, text_col: str = "text",
                  cfg: DedupConfig = DEFAULT_CONFIG,
-                 out_col: str = "simhash") -> DataFrame:
-    sh = shingle_hashes(F.col(text_col), cfg.shingle_k, cfg.seed)
+                 out_col: str = "simhash",
+                 shingles_col: str | None = None) -> DataFrame:
+    """``shingles_col`` reuses an already-materialized shingle array
+    (the pipeline computes shingles ONCE and feeds both MinHash and
+    SimHash from it — recomputing the k-gram scan per tier doubles the
+    most expensive columnar stage)."""
+    sh = (
+        F.col(shingles_col)
+        if shingles_col is not None
+        else shingle_hashes(F.col(text_col), cfg.shingle_k, cfg.seed)
+    )
     return df.withColumn(out_col, _simhash_udf(sh))
 
 

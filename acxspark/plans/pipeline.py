@@ -78,7 +78,7 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     docs = lin.observe(
         web.filter(F.length(text_col) <= cfg.max_text_bytes),
         "docs_scanned",
-    )
+    ).persist()
 
     # ---- exact tier: content-hash edges url ↔ first-url --------------
     # star edges (min-url ↔ member), not cliques: linear in group size,
@@ -94,23 +94,39 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
         .withColumn("tier", F.lit("exact"))
     )
 
+    # ---- shared shingle scan: computed ONCE, persisted slim -----------
+    # (url, shingles) only — the text column never rides the cache, so
+    # at 100 TB the cached footprint is the hash arrays, not the corpus.
+    shingled = with_shingles(docs, text_col=text_col, cfg=cfg).select(
+        "url", "shingles"
+    ).persist()
+
     # ---- minhash tier ------------------------------------------------
-    sigs = with_minhash(docs, text_col=text_col, cfg=cfg, keep_shingles=True)
-    sigs = sigs.persist()
-    cands = lin.observe(candidate_pairs(sigs, "url", "minhash", cfg), "pairs_emitted")
+    sigs = with_minhash(shingled, text_col=None, cfg=cfg, keep_shingles=True,
+                        shingles_col="shingles")
+    cands = lin.observe(
+        candidate_pairs(sigs, "url", "minhash", cfg), "pairs_emitted"
+    ).persist()
     near_edges = exact_jaccard_edges(cands, sigs, "url", cfg).select(
         "id_a", "id_b"
     ).withColumn("tier", F.lit("near"))
 
     # ---- simhash tier (recall supplement for tiny-edit dups) ---------
-    simmed = with_simhash(docs, text_col=text_col, cfg=cfg)
+    simmed = with_simhash(shingled, cfg=cfg, shingles_col="shingles")
     sim_edges = simhash_candidate_pairs(simmed, "url", "simhash", cfg).select(
         "id_a", "id_b"
     ).withColumn("tier", F.lit("simhash"))
 
     # ---- containment tier (page-in-page, Jaccard-blind) --------------
+    # only pairs the Jaccard tier did NOT already verify need the
+    # suffix-array check — verified pairs are already edges, and CC is
+    # insensitive to duplicate edges, so re-checking them buys nothing.
+    unverified = cands.join(
+        near_edges.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    )
     contain_edges = containment_edges(
-        cands, docs.select("url", text_col).withColumnRenamed(text_col, "text"),
+        unverified,
+        docs.select("url", text_col).withColumnRenamed(text_col, "text"),
         "url",
     ).withColumn("tier", F.lit("contain"))
 
@@ -119,9 +135,11 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     )
 
     # ---- clustering ---------------------------------------------------
+    # localCheckpoint: CC iterates joins over the edges — without the
+    # cut, every CC round would re-run all four tiers above.
+    edge_pairs = edges.select("id_a", "id_b").localCheckpoint(eager=True)
     clusters = cluster_assignments(
-        docs.select("url"), "url",
-        edges.select("id_a", "id_b"), catalog=catalog,
+        docs.select("url"), "url", edge_pairs, catalog=catalog,
     )
     clusters = lin.observe(clusters, "clusters_assigned")
 

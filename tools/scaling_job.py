@@ -1,0 +1,55 @@
+"""The scaling-evidence job: full near-dup pipeline over a generated
+corpus at $SPARK_GRAFT_CPUS parallelism. Prints one JSON line.
+
+Run by tools/bench_scaling.py at two parallelism levels on the SAME
+input parquet — the sandbox proxy for N vs 4N executors (BASELINE.md).
+Timing starts AFTER the session is up and the input is readable (a
+real cluster's executors are provisioned before the job too); it
+covers the full pipeline: shingle → MinHash → LSH → Jaccard verify →
+SimHash → containment → CC → survivors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from acxspark.config import DedupConfig  # noqa: E402
+from acxspark.plans.pipeline import run_pipeline  # noqa: E402
+from acxspark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    data = sys.argv[1]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("scaling-job", parallelism=cpus)
+    docs = spark.read.parquet(data).select("url", "text")
+    n_docs = docs.count()  # warm: session + file listing out of the timer
+
+    t0 = time.time()
+    res = run_pipeline(docs, cfg=DedupConfig(), text_col="text")
+    n_survivors = res.survivors.count()
+    wall = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "parallelism": cpus,
+                "docs": n_docs,
+                "survivors": n_survivors,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(n_docs / wall, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
