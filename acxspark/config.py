@@ -31,6 +31,12 @@ class DedupConfig:
     num_perm: int = 128
     lsh_bands: int = 32
     lsh_rows: int = 4             # num_perm == lsh_bands * lsh_rows
+    # MinHash estimator variant: 'kperm' = classical P independent
+    # permutations (compute-bound, ~P ops/byte — scales with cores on
+    # bandwidth-capped hosts); 'oph' = one-permutation hashing with
+    # rotation densification (1 op/byte — cheapest when memory
+    # bandwidth is plentiful). Same LSH banding either way.
+    minhash_mode: str = "kperm"
     # SimHash
     simhash_bits: int = 64
     simhash_tables: int = 4       # bit-chunk tables for Hamming-ball probe

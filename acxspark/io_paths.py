@@ -1,0 +1,121 @@
+"""Import/export paths — reference format parity on Spark readers.
+
+Reference surfaces (SURVEY §2.1):
+- JSONL scan/sink: one object per line, blank lines skipped, malformed
+  lines pass through or are dropped per command
+  (src/jsonl.cpp:158-177, src/storage.cpp:30-39).
+- CSV RFC 4180 scan (src/csv.cpp:7-41) and CSV/TSV sink with the fixed
+  column order ``id,name,email,phone,note,created_at`` and rows sorted
+  by id (src/storage.cpp:252-281).
+- zstd-compressed backups (src/zstd_wrap.cpp:16-41) → parquet
+  ``compression=zstd`` (session default).
+- max-record-size guard: lines over the cap are skipped
+  (src/storage.cpp:516,548).
+
+Scale notes: exports use a TOTAL sort (range partitioning) only when
+the reference's sorted-order contract is requested; otherwise
+``sortWithinPartitions`` keeps files internally ordered without the
+global shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CONTACT_COLUMNS = ["id", "name", "email", "phone", "note", "created_at"]
+
+CONTACT_SCHEMA = T.StructType(
+    [T.StructField(c, T.StringType()) for c in CONTACT_COLUMNS]
+)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = CONTACT_SCHEMA,
+    keep_corrupt: bool = True,
+    max_record_bytes: int | None = 1 << 20,
+) -> DataFrame:
+    """JSONL scan with the reference's malformed-line semantics.
+
+    ``keep_corrupt=True`` = the dedupe-cmd behavior (unparseable lines
+    pass through in ``_corrupt_record``, src/cli.cpp:303-304);
+    ``False`` = the import behavior (dropped). Oversized lines are
+    dropped either way (the 1 MiB guard, src/storage.cpp:516)."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = spark.read.schema(full).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+    if max_record_bytes is not None:
+        df = df.filter(
+            F.coalesce(F.length(F.to_json(F.struct(*schema.fieldNames()))), F.lit(0))
+            <= max_record_bytes
+        )
+    if not keep_corrupt:
+        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return df
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """One compact JSON object per line (src/jsonl.cpp:173-177)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    schema: T.StructType = CONTACT_SCHEMA,
+    failfast: bool = True,
+) -> DataFrame:
+    """RFC 4180 scan: quoted fields, '""' escape; ragged rows error
+    under FAILFAST (src/csv.cpp:7-41 errors on bad rows)."""
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("sep", sep)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("mode", "FAILFAST" if failfast else "PERMISSIVE")
+        .csv(path)
+    )
+    # reference fields are plain strings; an absent/empty field is ""
+    # (Contact never holds null, src/model.hpp:16-27) — Spark's CSV
+    # reader maps empty→null, so restore the reference contract here.
+    str_cols = [f.name for f in schema.fields if f.dataType == T.StringType()]
+    return df.na.fill("", subset=str_cols)
+
+
+def write_csv_sorted(df: DataFrame, path: str, sep: str = ",") -> None:
+    """Header + rows TOTALLY sorted by id, RFC-escaped — the
+    reference's deterministic export contract (src/storage.cpp:252-281,
+    SUMMIT_SORT). orderBy = range-partitioned total sort; files are
+    globally ordered by part index."""
+    (
+        df.select(*[F.col(c) for c in df.columns])
+        .orderBy("id")
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("sep", sep)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def write_tsv_sorted(df: DataFrame, path: str) -> None:
+    write_csv_sorted(df, path, sep="\t")
+
+
+def export_roundtrip_ok(spark: SparkSession, df: DataFrame, tmp: str) -> bool:
+    """The reference's determinism property: export → reimport → diff
+    == empty (src/selftest.cpp:50-69, DETERMINISM.md)."""
+    path = f"{tmp}/roundtrip_csv"
+    write_csv_sorted(df, path)
+    back = read_csv(spark, path)
+    a, b = df.select(*CONTACT_COLUMNS), back.select(*CONTACT_COLUMNS)
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

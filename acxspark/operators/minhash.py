@@ -39,9 +39,28 @@ def _perms(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_SCRATCH: dict[int, np.ndarray] = {}
+
+
+def _scratch(num_perm: int, n: int) -> np.ndarray:
+    """Per-worker reusable (num_perm, >=n) buffer.
+
+    A fresh (P, N) uint64 temp per row (~200 KB) exceeds glibc's mmap
+    threshold, so the naive broadcast allocated + unmapped a fresh
+    mapping per row; with 32 workers that serialized on kernel mmap
+    bookkeeping and made the stage ANTI-scale (measured 5-20s swings).
+    One growing buffer per worker removes every per-row mapping."""
+    buf = _SCRATCH.get(num_perm)
+    if buf is None or buf.shape[1] < n:
+        buf = np.empty((num_perm, max(n, 1024)), dtype=np.uint64)
+        _SCRATCH[num_perm] = buf
+    return buf
+
+
 def minhash_batch(shingle_lists: pd.Series, num_perm: int, seed: int) -> pd.Series:
     """pd.Series[list[int64-shingles]] → pd.Series[list[int64-sig]]."""
     a, b = _perms(num_perm, seed)
+    a_col = a[:, None]
     out = []
     empty = [np.int64(np.iinfo(np.int64).max)] * num_perm
     for sh in shingle_lists:
@@ -49,9 +68,15 @@ def minhash_batch(shingle_lists: pd.Series, num_perm: int, seed: int) -> pd.Seri
             out.append(empty)
             continue
         s = np.asarray(sh, dtype=np.int64).view(np.uint64)
-        # (P,1)*(1,N) + (P,1) in uint64 with natural mod-2^64 overflow
+        n = len(s)
+        buf = _scratch(num_perm, n)
+        view = buf[:, :n]
+        # (P,1)*(1,N) + (P,1) in uint64 with natural mod-2^64 overflow,
+        # computed in the reused scratch (no per-row allocation)
         with np.errstate(over="ignore"):
-            m = (a[:, None] * s[None, :] + b[:, None]).min(axis=1)
+            np.multiply(a_col, s[None, :], out=view)
+            view += b[:, None]
+        m = view.min(axis=1)
         out.append(m.view(np.int64).tolist())
     return pd.Series(out)
 

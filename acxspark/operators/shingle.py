@@ -1,39 +1,86 @@
-"""Word k-shingling, entirely JVM-side (whole-stage codegen, no UDF).
+"""Word k-shingle hashing: JVM per-token hashing + vectorized numpy
+rolling combine.
 
 The reference documents fuzzy dedup over configurable keys +
 similarity threshold but never implements it (reference README.md:36,
 53,119,194; no similarity code in src/). This is stage 1 of our
-implementation: canonical text → word k-grams → 64-bit xxhash64
+implementation: canonical text → per-token xxhash64 (JVM, codegen) →
+k-window polynomial combine (numpy over Arrow batches) → distinct
 shingle set.
 
-Scale note: shingle hashing via ``transform`` + ``xxhash64`` stays
-inside codegen; the array of distinct shingle hashes is what flows to
-MinHash, so raw text is dropped immediately after this projection
-(column pruning keeps the 100 TB of html out of the shuffle).
+Why the split design: a pure-SQL k-gram build (slice + concat_ws per
+position) allocates O(text × k) transient strings per row — measured
+GC-bound and anti-scaling at local[32] (32 threads contending one
+heap). Hashing each token ONCE in the JVM then combining fixed-width
+u64 windows in numpy does the same math with ~k vector adds per row
+and zero string garbage; the 100 TB cost moves from GC to BLAS-class
+arithmetic.
+
+The combined hash of window [t_i .. t_{i+k-1}] is
+``Σ_j hash(t_{i+j}) * B^j  (mod 2^64)`` with B an odd constant —
+position-weighted, so permuted tokens hash differently.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
 
 from acxspark.config import DEFAULT_CONFIG, DedupConfig
 from acxspark.functions.normalize import tokens
 
+_B = np.uint64(0x9E3779B97F4A7C15)  # odd ⇒ invertible mod 2^64
+
+
+def token_hashes(text_col, seed: int = 42) -> Column:
+    """array<long> of xxhash64(token, seed) — JVM-side, one hash per
+    token, no positional string building."""
+    return F.transform(tokens(text_col), lambda t: F.xxhash64(t, F.lit(seed)))
+
+
+def combine_windows(arr: np.ndarray, k: int) -> np.ndarray:
+    """uint64 rolling polynomial over windows of k token hashes.
+    Rows shorter than k collapse to ONE shingle over all their tokens
+    (tiny docs still participate — same contract as before)."""
+    t = len(arr)
+    kk = min(k, t) if t > 0 else 0
+    if kk == 0:
+        return np.zeros(0, dtype=np.uint64)
+    n_win = t - kk + 1
+    acc = np.zeros(n_win, dtype=np.uint64)
+    mult = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(kk):
+            acc += arr[j : j + n_win] * mult
+            mult *= _B
+    return np.unique(acc)
+
+
+@lru_cache(maxsize=8)
+def _make_combine_udf(k: int):
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _combine(tok_hashes: pd.Series) -> pd.Series:
+        out = []
+        for row in tok_hashes:
+            if row is None:
+                out.append([])
+                continue
+            a = np.asarray(row, dtype=np.int64).view(np.uint64)
+            out.append(combine_windows(a, k).view(np.int64).tolist())
+        return pd.Series(out)
+
+    return _combine
+
 
 def shingle_hashes(text_col, k: int = DEFAULT_CONFIG.shingle_k, seed: int = 42) -> Column:
-    """array<long> of distinct xxhash64 values of the k-gram shingles.
-
-    Documents shorter than k tokens hash their full token string as a
-    single shingle (so tiny docs still participate).
-    """
-    toks = tokens(text_col)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k)), F.lit(seed)),
-    )
-    return F.array_distinct(grams)
+    """array<long> of distinct k-gram shingle hashes of canonical text."""
+    return _make_combine_udf(k)(token_hashes(text_col, seed))
 
 
 def with_shingles(df: DataFrame, text_col: str = "text",

@@ -25,17 +25,32 @@ from acxspark.config import DEFAULT_CONFIG, DedupConfig
 from acxspark.operators.shingle import shingle_hashes
 
 
+_SIM_SCRATCH: list[np.ndarray] = []
+
+
+def _sim_scratch(n: int) -> np.ndarray:
+    """Reusable (n, 64) bit buffer — same per-row-mmap-churn fix as
+    minhash._scratch (a fresh ~100 KB temp per row anti-scales)."""
+    if not _SIM_SCRATCH or _SIM_SCRATCH[0].shape[0] < n:
+        _SIM_SCRATCH[:] = [np.empty((max(n, 2048), 64), dtype=np.uint64)]
+    return _SIM_SCRATCH[0]
+
+
 def simhash_batch(shingle_lists: pd.Series) -> pd.Series:
     out = []
     weights_template = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
     for sh in shingle_lists:
         if sh is None or len(sh) == 0:
             out.append(0)
             continue
         s = np.asarray(sh, dtype=np.int64).view(np.uint64)
-        # bit matrix (N, 64): bit b of hash i
-        bits = (s[:, None] >> weights_template[None, :]) & np.uint64(1)
-        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(s)  # +1/-1 votes
+        n = len(s)
+        view = _sim_scratch(n)[:n]
+        # bit matrix (N, 64): bit b of hash i, built in the reused buffer
+        np.right_shift(s[:, None], weights_template[None, :], out=view)
+        view &= one
+        votes = view.sum(axis=0).astype(np.int64) * 2 - n  # +1/-1 votes
         fp = int(np.bitwise_or.reduce((votes > 0).astype(np.uint64) << weights_template))
         out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)  # reinterpret as int64
     return pd.Series(out, dtype="int64")

@@ -34,9 +34,8 @@ from acxspark.corpus import extract_text
 from acxspark.metrics import Lineage
 from acxspark.operators.cc import cluster_assignments
 from acxspark.operators.lsh import candidate_pairs
-from acxspark.operators.minhash import with_minhash
-from acxspark.operators.shingle import with_shingles
-from acxspark.operators.simhash import simhash_candidate_pairs, with_simhash
+from acxspark.operators.signatures import with_signatures
+from acxspark.operators.simhash import simhash_candidate_pairs
 from acxspark.operators.verify import containment_edges, exact_jaccard_edges
 
 
@@ -94,26 +93,28 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
         .withColumn("tier", F.lit("exact"))
     )
 
-    # ---- shared shingle scan: computed ONCE, persisted slim -----------
-    # (url, shingles) only — the text column never rides the cache, so
-    # at 100 TB the cached footprint is the hash arrays, not the corpus.
-    shingled = with_shingles(docs, text_col=text_col, cfg=cfg).select(
-        "url", "shingles"
-    ).persist()
+    # ---- shared signature scan: ONE fused Arrow pass, persisted slim --
+    # sigs caches (url, shingles, minhash, simhash) — the text column
+    # never rides the cache, so at 100 TB the cached footprint is the
+    # hash arrays, not the corpus. Every downstream tier (LSH explode,
+    # both sides of the Jaccard join, SimHash probe) reads this one
+    # cache; without it the self-joins re-run the signature UDF per
+    # side. The fused batch-vectorized UDF (operators/signatures.py)
+    # replaces three separate per-row UDF scans.
+    sigs = with_signatures(docs, text_col=text_col, cfg=cfg, id_col="url").persist()
 
     # ---- minhash tier ------------------------------------------------
-    sigs = with_minhash(shingled, text_col=None, cfg=cfg, keep_shingles=True,
-                        shingles_col="shingles")
     cands = lin.observe(
         candidate_pairs(sigs, "url", "minhash", cfg), "pairs_emitted"
     ).persist()
+    # persisted: consumed by the containment anti-join AND the edge
+    # union → without the cache the two sig-joins re-run per consumer
     near_edges = exact_jaccard_edges(cands, sigs, "url", cfg).select(
         "id_a", "id_b"
-    ).withColumn("tier", F.lit("near"))
+    ).withColumn("tier", F.lit("near")).persist()
 
     # ---- simhash tier (recall supplement for tiny-edit dups) ---------
-    simmed = with_simhash(shingled, cfg=cfg, shingles_col="shingles")
-    sim_edges = simhash_candidate_pairs(simmed, "url", "simhash", cfg).select(
+    sim_edges = simhash_candidate_pairs(sigs, "url", "simhash", cfg).select(
         "id_a", "id_b"
     ).withColumn("tier", F.lit("simhash"))
 

@@ -44,6 +44,15 @@ def get_spark(
     executor/core sizing via spark-submit and the master URL is
     whatever the cluster manager provides.
     """
+    # glibc tuning for every forked Python worker (they inherit this
+    # env): by default each large numpy temp is a fresh mmap — on this
+    # sandboxed kernel a page-fault storm measured 33x slower than
+    # arena reuse (134ms vs 4ms per 35MB vector op). Keeping big
+    # buffers in the arena makes allocation-heavy UDF batches run at
+    # memory bandwidth after first touch.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
     cpus = parallelism or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     master = f"local[{cpus}]"
     # shuffle partitions: ~2-3x total cores locally. On a 1000-executor
@@ -72,7 +81,30 @@ def get_spark(
         # (reference src/zstd_wrap.cpp:16-41) but codec-level.
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("ACX_DRIVER_MEM", "8g"))
+        # shuffle/spill on tmpfs: the host disk is ~600 MB/s virtio;
+        # RAM-backed local dirs take it out of the shuffle path (the
+        # cluster equivalent: NVMe-backed spark.local.dir per executor)
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-tmp" if os.path.isdir("/dev/shm") else "/tmp",
+        )
+        # 32 executor threads share one heap in local mode: size it so
+        # allocation-heavy stages don't become GC-bound (measured: the
+        # shingle scan anti-scaled at 8g), and use G1 for predictable
+        # pauses with many mutator threads.
+        .config("spark.driver.memory", os.environ.get("ACX_DRIVER_MEM", "16g"))
+        # AlwaysPreTouch: this host (microVM) serializes first-touch
+        # page faults globally — a 32-thread JVM allocating across a
+        # lazily-faulted heap measured 20x slower than 8 threads on the
+        # SAME work. Pre-faulting the heap once at startup moves that
+        # cost out of the allocation path entirely. ParallelGC, not G1:
+        # G1's region management re-touches memory continuously and
+        # measured 10-40x slower on allocation-heavy stages here
+        # (0.9s vs 37s on the identical token-hash scan).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseParallelGC -XX:+AlwaysPreTouch",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,80 @@
+"""Structured Streaming operators — the incremental-ingest extension.
+
+The reference is batch-only (SURVEY §2.10); its incremental property
+(atomic tmp+rename save, resume from last good file) maps to Spark as
+checkpointed streaming queries. These are the streaming twins of the
+batch stages, for the ingest side of the 100 TB pipeline:
+
+- ``hourly_rollup``: event-time tumbling window + watermark (late data
+  bounded, state evicted) — the streaming form of
+  queries.events_hourly.
+- ``streaming_exact_dedup``: dropDuplicatesWithinWatermark on the
+  content key — the streaming form of the first-wins exact tier
+  (winner = first arrival, which IS the reference's stream-order
+  semantics, src/cli.cpp:289-308, made physical).
+- ``streaming_validate``: the validate predicate as a pass-through
+  projection (stateless — runs at source rate).
+
+All return UNSTARTED DataFrames; callers pick sink/trigger. Tests run
+them with trigger(availableNow=True) + memory sink for determinism.
+
+Scale notes: watermark delay bounds state size (state ~ distinct keys
+within the lag window, not corpus); the shuffle key for dedup state is
+the content hash → uniform; rollup state is (window × type) → tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from acxspark.functions.validate import record_valid
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Event-time hourly counts/sums per event_type with late-data
+    tolerance = ``watermark``; emits once the window is closed."""
+    # watermarks require TIMESTAMP (LTZ); parquet NTZ columns are cast
+    # (session TZ is pinned UTC in session.py, so the cast is lossless)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-arrival-wins content dedup within the watermark horizon.
+
+    dropDuplicatesWithinWatermark keys state on the sha2 content hash;
+    state for a key is dropped once the watermark passes it, so memory
+    is bounded by the duplicate-arrival lag, not the corpus size."""
+    docs = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    keyed = docs.withColumn("_content_key", F.sha2(F.col(text_col), 256))
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["_content_key"]
+    ).drop("_content_key")
+
+
+def streaming_validate(docs: DataFrame, name_col: str, email_col: str) -> DataFrame:
+    """Stateless validate projection — per-record valid flag + reason
+    (reference src/cli.cpp:943-949 policy-violation emission)."""
+    ok = record_valid(F.col(name_col), F.col(email_col))
+    return docs.withColumn("valid", ok).withColumn(
+        "violation",
+        F.when(ok, F.lit(None).cast("string"))
+        .when(F.col(name_col).isNull() | (F.length(name_col) == 0), F.lit("empty_name"))
+        .otherwise(F.lit("bad_email")),
+    )

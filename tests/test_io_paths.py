@@ -1,0 +1,59 @@
+"""IO parity tests: JSONL corrupt-line semantics, CSV/TSV sorted
+export, roundtrip determinism (reference src/selftest.cpp:50-69)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from acxspark import io_paths as IO
+
+
+@pytest.fixture(scope="module")
+def contacts(spark):
+    return spark.createDataFrame(
+        [
+            ("3", "Cara", "cara@x.com", "+14155550123", "hi, \"q\"", "2025-01-03T00:00:00Z"),
+            ("1", "Ann", "ann@x.com", "+14155550111", "", "2025-01-01T00:00:00Z"),
+            ("2", "Bob", "bob@x.com", "+14155550122", "a,b", "2025-01-02T00:00:00Z"),
+        ],
+        IO.CONTACT_SCHEMA,
+    ).cache()
+
+
+def test_jsonl_corrupt_passthrough(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id":"1","name":"Ann","email":"a@x.com","phone":"1","note":"","created_at":"t"}\n'
+        "this is not json\n"
+        '{"id":"2","name":"Bob","email":"b@x.com","phone":"2","note":"","created_at":"t"}\n'
+    )
+    kept = IO.read_jsonl(spark, str(p), keep_corrupt=True)
+    assert kept.count() == 3  # malformed line passes through (cli.cpp:303-304)
+    assert kept.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    dropped = IO.read_jsonl(spark, str(p), keep_corrupt=False)
+    assert sorted(r["id"] for r in dropped.collect()) == ["1", "2"]
+
+
+def test_csv_sorted_export_and_quoting(spark, contacts, tmp_path):
+    out = str(tmp_path / "out_csv")
+    IO.write_csv_sorted(contacts.coalesce(1), out)
+    files = sorted(glob.glob(f"{out}/part-*"))
+    lines = open(files[0]).read().splitlines()
+    assert lines[0].split(",")[0] == "id"  # header
+    assert [ln.split(",")[0] for ln in lines[1:]] == ["1", "2", "3"]  # sorted
+    assert '"a,b"' in lines[2]  # RFC quoting of embedded comma
+
+
+def test_roundtrip_determinism(spark, contacts, tmp_path):
+    assert IO.export_roundtrip_ok(spark, contacts, str(tmp_path))
+
+
+def test_tsv_roundtrip(spark, contacts, tmp_path):
+    out = str(tmp_path / "out_tsv")
+    IO.write_tsv_sorted(contacts, out)
+    back = IO.read_csv(spark, out, sep="\t")
+    assert back.count() == 3
+    assert sorted(r["name"] for r in back.collect()) == ["Ann", "Bob", "Cara"]
