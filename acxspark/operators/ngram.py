@@ -52,8 +52,20 @@ def ngram_jaccard_pairs(
     NOTE: when ``max_doc_freq`` filters grams, Jaccard is computed over
     the SURVIVING gram space on both sides (intersection and sizes),
     so the estimate stays internally consistent.
+
+    The join/groupBy key is xxhash64(gram), not the gram string: the
+    n-gram text never leaves its originating row, so the shuffle moves
+    8-byte longs instead of ~25-byte strings (64-bit collisions are
+    ~1e-7 at 10^9 distinct grams — far below the jaccard rounding).
     """
-    g = df.select(F.col(id_col), F.explode(ngrams(F.col(text_col), n)).alias("gram"))
+    g = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(ngrams(F.col(text_col), n), lambda s: F.xxhash64(s))
+            )
+        ).alias("gram"),
+    )
     if max_doc_freq is not None:
         hot = (
             g.groupBy("gram")
