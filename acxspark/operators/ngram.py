@@ -58,6 +58,9 @@ def ngram_jaccard_pairs(
     8-byte longs instead of ~25-byte strings (64-bit collisions are
     ~1e-7 at 10^9 distinct grams — far below the jaccard rounding).
     """
+    # persisted: the exploded gram rows feed the doc-freq cut, the
+    # per-doc sizes, and both self-join sides — without the cache the
+    # gram scan (the expensive text pass) runs up to four times
     g = df.select(
         F.col(id_col),
         F.explode(
@@ -65,7 +68,7 @@ def ngram_jaccard_pairs(
                 F.transform(ngrams(F.col(text_col), n), lambda s: F.xxhash64(s))
             )
         ).alias("gram"),
-    )
+    ).persist()
     if max_doc_freq is not None:
         hot = (
             g.groupBy("gram")

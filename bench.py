@@ -36,11 +36,15 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
+    "rollup_revenue",
     "report_stats",
     "first_wins_dedup_docs",
+    "or_key_clusters",
     "window_top3_orders_per_cust",
     "merge_prefer_newer",
     "events_hourly",
+    "events_sessions",
+    "asof_purchase_last_view",
     "ann_cosine_topk",
     "embedding_near_dup",
     "ngram_jaccard_pairs_docs",
@@ -62,10 +66,19 @@ def main() -> None:
         F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"), F.col("text")
     )
     n_docs = docs.count()
-    t0 = time.time()
-    res = run_pipeline(docs, cfg=DedupConfig(), text_col="text")
-    n_survivors = res.survivors.count()
-    dedup_sec = time.time() - t0
+    # two runs: the first pays JVM/worker warmup, the second is the
+    # steady state a long-running cluster job operates in; both are
+    # reported, throughput is computed from the steady state
+    dedup_sec = float("inf")
+    n_survivors = 0
+    for trial in range(2):
+        t0 = time.time()
+        res = run_pipeline(docs, cfg=DedupConfig(), text_col="text")
+        n_survivors = res.survivors.count()
+        el = time.time() - t0
+        timings[f"dedup_pipeline_t{trial}"] = round(el, 3)
+        dedup_sec = min(dedup_sec, el)
+        spark.catalog.clearCache()
     timings["dedup_pipeline"] = round(dedup_sec, 3)
 
     registry = Q.queries()
