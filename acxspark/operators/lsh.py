@@ -52,8 +52,18 @@ def band_keys(df: DataFrame, id_col: str, sig_col: str = "minhash",
 
 
 def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
-                    cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Distinct candidate (id_a < id_b) pairs from shared band keys."""
+                    cfg: DedupConfig = DEFAULT_CONFIG,
+                    salted: bool = True) -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs from shared band keys.
+
+    ``salted=True`` generates pairs through the salted self-join
+    (:func:`salted_self_join_pairs`): each band's rows are split into
+    ``cfg.band_salt_buckets`` salt groups and the join key becomes
+    (band_key, salt_a, salt_b), so one hot band fans out over
+    s(s+1)/2 shuffle keys instead of landing on a single reducer —
+    the explicit salted band-key repartitioning, with AQE skew-join
+    as the second line of defense and the hard cap as the third.
+    Output is IDENTICAL to the unsalted join (tested)."""
     # persisted: the exploded band rows feed BOTH the hot-band size agg
     # and both sides of the self-join — without the cache the explode
     # (bands × corpus rows) runs three times.
@@ -63,12 +73,73 @@ def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
     sizes = bk.groupBy("band_key").agg(F.count("*").alias("band_n"))
     bk = bk.join(F.broadcast(sizes.filter(F.col("band_n") > cfg.max_band_size)),
                  "band_key", "left_anti")
-    a = bk.select(F.col("band_key"), F.col(id_col).alias("id_a"))
-    b = bk.select(F.col("band_key"), F.col(id_col).alias("id_b"))
-    pairs = (
-        a.join(b, "band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+
+    def plain_pairs(rows: DataFrame) -> DataFrame:
+        a = rows.select(F.col("band_key"), F.col(id_col).alias("id_a"))
+        b = rows.select(F.col("band_key"), F.col(id_col).alias("id_b"))
+        return (
+            a.join(b, "band_key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+
+    if salted and cfg.band_salt_buckets > 1:
+        # ADAPTIVE salting: replication costs (s+1)/2× rows, so only
+        # bands hot enough to skew a reducer pay it; the cold majority
+        # takes the plain join. Threshold = max_band_size/4 keeps the
+        # salted tier's per-(key,salt-pair) group ≤ ~cap/s.
+        hot_threshold = max(cfg.max_band_size // 4, 2 * cfg.band_salt_buckets)
+        hot_keys = F.broadcast(
+            sizes.filter(
+                (F.col("band_n") > hot_threshold)
+                & (F.col("band_n") <= cfg.max_band_size)
+            ).select("band_key")
+        )
+        hot = bk.join(hot_keys, "band_key", "left_semi")
+        cold = bk.join(hot_keys, "band_key", "left_anti")
+        return (
+            plain_pairs(cold)
+            .unionByName(
+                salted_self_join_pairs(hot, id_col, cfg.band_salt_buckets)
+            )
+            .distinct()
+        )
+    return plain_pairs(bk).distinct()
+
+
+def salted_self_join_pairs(bk: DataFrame, id_col: str, s: int) -> DataFrame:
+    """All (id_a < id_b) pairs sharing a band_key, via an s-way salted
+    self-join.
+
+    Each row gets salt = hash(id) mod s. The left side replicates each
+    row to every salt bucket >= its own; the right side keeps its own
+    salt; the equi-join key is (band_key, salt_left_target, salt_right)
+    folded into (band_key, sb) with sa carried for the triangular
+    dedup. Every unordered salt pair (sa<=sb) is produced exactly once,
+    so with the id_a<id_b filter the output equals the plain self-join
+    while the hottest single band key spreads over s join partitions
+    per replica (max partition shrinks ~s²/2 for a hot key)."""
+    salted = bk.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(id_col), F.lit(1)), F.lit(s))
     )
-    return pairs
+    a = salted.select(
+        "band_key",
+        F.col(id_col).alias("id_a"),
+        F.col("salt").alias("sa"),
+        F.explode(F.sequence(F.col("salt"), F.lit(s - 1))).alias("sb"),
+    )
+    b = salted.select(
+        "band_key", F.col(id_col).alias("id_b"), F.col("salt").alias("sb")
+    )
+    joined = a.join(b, ["band_key", "sb"])
+    # within one salt bucket (sa == sb) both orientations appear → keep
+    # id_a < id_b; across buckets (sa < sb) each unordered pair appears
+    # once in arbitrary orientation → normalize with least/greatest
+    within = joined.filter(
+        (F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    across = joined.filter(F.col("sa") < F.col("sb")).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    return within.unionByName(across).distinct()

@@ -79,3 +79,20 @@ def test_simhash_candidates(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in simhash_candidate_pairs(df, "url").collect()}
     assert ("a", "b") in pairs
     assert ("a", "c") not in pairs
+
+
+def test_salted_pairs_equal_unsalted(spark):
+    """Salted band-key self-join (north_rule: salted band-key
+    repartitioning) must produce exactly the plain self-join's pairs."""
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again extra words here"
+    for i in range(40):
+        rows.append((f"d{i:03d}", base if i % 4 == 0 else base + f" tail {i} {i*3}"))
+    df = spark.createDataFrame(rows, "url string, text string")
+    cfg = DedupConfig(band_salt_buckets=4, max_band_size=40)  # hot_threshold=10 → the identical-doc bands go through the salted tier
+    sigs = with_minhash(df, "text", cfg, keep_shingles=False)
+    plain = {(r["id_a"], r["id_b"]) for r in
+             candidate_pairs(sigs, "url", "minhash", cfg, salted=False).collect()}
+    salted = {(r["id_a"], r["id_b"]) for r in
+              candidate_pairs(sigs, "url", "minhash", cfg, salted=True).collect()}
+    assert plain == salted and len(plain) > 0
