@@ -52,9 +52,22 @@ def extract_stage(web: DataFrame) -> DataFrame:
     The invariant "byte-identical extracted text per url" (the
     reference's normalized-email uniqueness analog,
     src/storage.cpp:126-130) is checkable downstream via
-    groupBy(url).countDistinct(sha2(extracted_text)) == 1.
+    :func:`extraction_violations`.
     """
     return web.withColumn("extracted_text", _extract_udf(F.col("html")))
+
+
+def extraction_violations(web: DataFrame, url_col: str = "url",
+                          text_col: str = "extracted_text") -> DataFrame:
+    """Rows violating the per-url byte-identity invariant (input_hint):
+    urls whose extracted text is not single-valued. Empty ⇒ the
+    invariant holds. The write-side uniqueness gate of the reference
+    (src/storage.cpp:126-130), promoted to a distributed assertion."""
+    return (
+        web.groupBy(url_col)
+        .agg(F.countDistinct(F.sha2(F.col(text_col), 256)).alias("n_variants"))
+        .filter(F.col("n_variants") > 1)
+    )
 
 
 @dataclass
@@ -69,6 +82,7 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                  lineage_path: str | None = None,
                  catalog=None,
                  use_extract: bool = False,
+                 redact: bool = False,
                  text_col: str = "text") -> PipelineResult:
     lin = Lineage(lineage_path, cfg.fingerprint())
 
@@ -151,6 +165,12 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
         clusters.filter(F.col("url") == F.col("cluster_id")).select("url"),
         "url", "left_semi",
     )
+    if redact:
+        # post-clustering, never before: masking changes content hashes
+        # and would split exact clusters (north_rule stage order)
+        from acxspark.plans.redact import scrub_text
+
+        survivors = scrub_text(survivors, text_col)
 
     return PipelineResult(clusters=clusters, edges=edges,
                           survivors=survivors, lineage=lin)
