@@ -51,8 +51,18 @@ def read_jsonl(
         "columnNameOfCorruptRecord", "_corrupt_record"
     ).json(path)
     if max_record_bytes is not None:
+        # raw-line cap (reference src/storage.cpp:516). For corrupt
+        # records the raw line IS _corrupt_record — measure that; for
+        # parsed records the re-serialized struct is a faithful proxy
+        # for the line length. (Measuring only the struct was a bug:
+        # corrupt rows serialize to '{}' and oversized malformed lines
+        # always passed.)
         df = df.filter(
-            F.coalesce(F.length(F.to_json(F.struct(*schema.fieldNames()))), F.lit(0))
+            F.coalesce(
+                F.length("_corrupt_record"),
+                F.length(F.to_json(F.struct(*schema.fieldNames()))),
+                F.lit(0),
+            )
             <= max_record_bytes
         )
     if not keep_corrupt:

@@ -51,9 +51,23 @@ def band_keys(df: DataFrame, id_col: str, sig_col: str = "minhash",
     )
 
 
+_BAND_CACHES: list[DataFrame] = []
+
+
+def release_band_caches() -> None:
+    """Unpersist every band-rows cache created by
+    :func:`candidate_pairs` calls that did not pass ``caches``.
+    Library sessions that call candidate_pairs repeatedly should
+    release between runs — cached partitions otherwise accumulate
+    until memory pressure evicts them."""
+    while _BAND_CACHES:
+        _BAND_CACHES.pop().unpersist()
+
+
 def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
                     cfg: DedupConfig = DEFAULT_CONFIG,
-                    salted: bool = True) -> DataFrame:
+                    salted: bool = True,
+                    caches: list[DataFrame] | None = None) -> DataFrame:
     """Distinct candidate (id_a < id_b) pairs from shared band keys.
 
     ``salted=True`` generates pairs through the salted self-join
@@ -66,8 +80,11 @@ def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
     Output is IDENTICAL to the unsalted join (tested)."""
     # persisted: the exploded band rows feed BOTH the hot-band size agg
     # and both sides of the self-join — without the cache the explode
-    # (bands × corpus rows) runs three times.
+    # (bands × corpus rows) runs three times. The handle lands in
+    # ``caches`` (caller releases) or the module registry
+    # (release_band_caches()) so repeated calls don't leak cache.
     bk = band_keys(df, id_col, sig_col, cfg).persist()
+    (caches if caches is not None else _BAND_CACHES).append(bk)
     # hot-band cap: window-free (two-pass agg is cheaper than a window
     # over the skewed key at scale — partial agg combines map-side)
     sizes = bk.groupBy("band_key").agg(F.count("*").alias("band_n"))

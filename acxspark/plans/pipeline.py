@@ -76,6 +76,17 @@ class PipelineResult:
     edges: DataFrame         # id_a, id_b, tier
     survivors: DataFrame     # canonical (first-wins) docs, redacted
     lineage: Lineage
+    caches: list[DataFrame] = None  # persisted intermediates, release()-able
+
+    def release(self) -> None:
+        """Unpersist every intermediate this run cached (docs, sigs,
+        candidate pairs, near edges, LSH band rows). Call when done
+        consuming the result DataFrames — repeated library runs in one
+        session otherwise accumulate cached partitions until eviction.
+        The returned DataFrames stay valid (plans recompute)."""
+        for df in self.caches or []:
+            df.unpersist()
+        self.caches = []
 
 
 def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
@@ -85,6 +96,7 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                  redact: bool = False,
                  text_col: str = "text") -> PipelineResult:
     lin = Lineage(lineage_path, cfg.fingerprint())
+    caches: list[DataFrame] = []
 
     if use_extract:
         web = extract_stage(web).withColumn(text_col, F.col("extracted_text"))
@@ -92,6 +104,7 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
         web.filter(F.length(text_col) <= cfg.max_text_bytes),
         "docs_scanned",
     ).persist()
+    caches.append(docs)
 
     # ---- exact tier: content-hash edges url ↔ first-url --------------
     # star edges (min-url ↔ member), not cliques: linear in group size,
@@ -116,16 +129,20 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     # side. The fused batch-vectorized UDF (operators/signatures.py)
     # replaces three separate per-row UDF scans.
     sigs = with_signatures(docs, text_col=text_col, cfg=cfg, id_col="url").persist()
+    caches.append(sigs)
 
     # ---- minhash tier ------------------------------------------------
     cands = lin.observe(
-        candidate_pairs(sigs, "url", "minhash", cfg), "pairs_emitted"
+        candidate_pairs(sigs, "url", "minhash", cfg, caches=caches),
+        "pairs_emitted",
     ).persist()
+    caches.append(cands)
     # persisted: consumed by the containment anti-join AND the edge
     # union → without the cache the two sig-joins re-run per consumer
     near_edges = exact_jaccard_edges(cands, sigs, "url", cfg).select(
         "id_a", "id_b"
     ).withColumn("tier", F.lit("near")).persist()
+    caches.append(near_edges)
 
     # ---- simhash tier (recall supplement for tiny-edit dups) ---------
     sim_edges = simhash_candidate_pairs(sigs, "url", "simhash", cfg).select(
@@ -173,4 +190,4 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
         survivors = scrub_text(survivors, text_col)
 
     return PipelineResult(clusters=clusters, edges=edges,
-                          survivors=survivors, lineage=lin)
+                          survivors=survivors, lineage=lin, caches=caches)

@@ -26,10 +26,22 @@ from acxspark.functions.mask import (
 )
 from acxspark.functions.validate import EMAIL_LIKE_RE
 
-# unanchored phone-ish pattern: international or 10+ digit runs with
-# common separators (the reference only masks dedicated phone fields;
-# free text needs a detector)
-PHONE_LIKE_RE = r"\+?[0-9][0-9 ()\-\.]{8,}[0-9]"
+# unanchored phone-ish detector (the reference only masks dedicated
+# phone fields; free text needs one). Structural, not "any long digit
+# run": three alternatives — international (+CC then 1-4 separated
+# groups), area-code ((nn[nn]) prefix), and local (nnn-nnnn[nnnn]) —
+# so ISO dates ('2020-01-01'), timestamps ('10:00:00'), and invoice
+# ids ('INV-2024-00123') no longer scrub to [PHONE]. Word boundaries
+# stop mid-number matches ('024-0012' inside '2024-00123'). RE2-safe
+# (no lookarounds) because the DuckDB oracle twin runs the SAME
+# pattern; \b and (?:) are common to RE2 and java.util.regex.
+# Known limit: hyphenated ISBN segments like '306-40615' still look
+# structurally phone-like and are scrubbed.
+PHONE_LIKE_RE = (
+    r"\+\d{1,3}(?:[ .\-]\(?\d{1,6}\)?){1,4}\b"      # +CC g [g g g]
+    r"|\(\d{2,4}\)[ .\-]?\d{3,4}(?:[ .\-]?\d{2,6})?\b"  # (area) nnn-nnnn
+    r"|\b\d{3}[ .\-]\d{4,8}\b"                      # local nnn-nnnnnnn
+)
 
 _FIELD_MASKS = {
     "email": {"policy": mask_email_policy, "redact": mask_email_redact},

@@ -90,8 +90,8 @@ def get_spark(
         )
         # 32 executor threads share one heap in local mode: size it so
         # allocation-heavy stages don't become GC-bound (measured: the
-        # shingle scan anti-scaled at 8g), and use G1 for predictable
-        # pauses with many mutator threads.
+        # shingle scan anti-scaled at 8g). GC choice is ParallelGC —
+        # see the extraJavaOptions note below for the measurements.
         .config("spark.driver.memory", os.environ.get("ACX_DRIVER_MEM", "16g"))
         # AlwaysPreTouch: this host (microVM) serializes first-touch
         # page faults globally — a 32-thread JVM allocating across a

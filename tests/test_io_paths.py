@@ -37,6 +37,25 @@ def test_jsonl_corrupt_passthrough(spark, tmp_path):
     assert sorted(r["id"] for r in dropped.collect()) == ["1", "2"]
 
 
+def test_jsonl_oversized_corrupt_line_dropped(spark, tmp_path):
+    """The raw-line cap applies to MALFORMED lines too (reference
+    src/storage.cpp:516 caps the raw line before parsing). A corrupt
+    row serializes its null struct to '{}', so guarding on the
+    re-serialized struct alone let oversized garbage through."""
+    p = tmp_path / "big.jsonl"
+    p.write_text(
+        '{"id":"1","name":"Ann","email":"a@x.com","phone":"1","note":"","created_at":"t"}\n'
+        + "x" * 5000  # oversized AND malformed
+        + "\n"
+        + "short garbage\n"
+    )
+    kept = IO.read_jsonl(spark, str(p), keep_corrupt=True, max_record_bytes=4096)
+    rows = kept.collect()
+    assert len(rows) == 2  # valid row + small corrupt row; big one dropped
+    corrupt = [r["_corrupt_record"] for r in rows if r["_corrupt_record"]]
+    assert corrupt == ["short garbage"]
+
+
 def test_csv_sorted_export_and_quoting(spark, contacts, tmp_path):
     out = str(tmp_path / "out_csv")
     IO.write_csv_sorted(contacts.coalesce(1), out)

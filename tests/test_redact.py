@@ -40,3 +40,34 @@ def test_scrub_text_placeholders(spark):
     assert out[0] == "write to [EMAIL] today"
     assert out[1] == "call [PHONE] now"
     assert out[2] == "no pii here"
+
+
+def test_scrub_text_does_not_mask_dates_or_ids(spark):
+    """Negative cases for the phone detector: timestamps, ISO dates,
+    invoice ids, versions, IPs, and long digit runs must survive
+    (the old any-10+-digit-run pattern rewrote '2020-01-01 10:00:00'
+    to '[PHONE]:00:00')."""
+    cases = [
+        "meeting on 2020-01-01 10:00:00 sharp",
+        "shipped 2021-12-31, invoice INV-2024-00123",
+        "release v1.2.3 on host 10.0.0.1",
+        "order id 123456789012 confirmed",
+        "range 1998-09-02 to 1998-12-01",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    out = [r["text"] for r in scrub_text(df).collect()]
+    assert out == cases
+
+
+def test_scrub_text_phone_shapes(spark):
+    """Positive cases: the three structural families all mask."""
+    df = spark.createDataFrame(
+        [
+            ("intl +52 55 1234 5678 ok",),
+            ("area (415) 555-0042 ok",),
+            ("local 555-123456 ok",),
+        ],
+        "text string",
+    )
+    out = [r["text"] for r in scrub_text(df).collect()]
+    assert out == [f"{k} [PHONE] ok" for k in ("intl", "area", "local")]

@@ -123,6 +123,11 @@ def main() -> None:
     (bench_dir / "scaling.json").write_text(json.dumps(out, indent=2))
 
     r2, r8, r32 = results[2], results[8], results[32]
+    # registry counts computed, never hardcoded (they drift otherwise)
+    from acxspark.queries import REGISTRY
+
+    n_queries = len(REGISTRY)
+    n_oracle = sum(1 for s in REGISTRY.values() if s.sql)
     md = f"""# BENCH/BASELINE.md — measured performance + scaling evidence
 
 ## Job
@@ -192,11 +197,11 @@ bounded state, and no driver-side data paths (the CC driver loop
 moves only per-round counters), so a 4N-executor run adds no new
 serial term beyond the O(log n) CC rounds.
 
-## What WAS fixed to get here (13× absolute throughput this round)
+## What WAS fixed to get here
 
-The same job measured 254 docs/sec at 32 cores before this round's
-optimization passes; it now runs {r32['docs_per_sec']} docs/sec.
-Each fix is documented at its call site:
+This run measured {r32['docs_per_sec']} docs/sec at 32 cores. The
+round-1 optimization passes (13× within that round, 254 → ~5,460
+docs/sec at 160k docs) are documented at their call sites:
 
 1. G1GC → ParallelGC + AlwaysPreTouch: G1's region re-touching is
    10-40× slower on this microVM's globally-serialized page faults
@@ -219,9 +224,10 @@ Each fix is documented at its call site:
 
 - dup-pair recall vs planted truth: 1.0 at the frozen DedupConfig
   (tests/test_recall.py gate ≥ 0.99).
-- 26 of 30 driver-contract queries match the DuckDB oracle
-  bit-for-bit at sf0.01 (tools/check_contract.py); the 4 rows-only
-  entries are the probabilistic tiers, pytest-gated instead.
+- {n_oracle} of {n_queries} driver-contract queries match the DuckDB
+  oracle bit-for-bit at sf0.01 (tools/check_contract.py); the
+  {n_queries - n_oracle} rows-only entries are probabilistic tiers,
+  pytest-gated instead.
 - determinism: re-run on own output ⇒ zero new clusters;
   byte-identical text extraction per url across runs and levels.
 """
