@@ -49,6 +49,14 @@ class DedupConfig:
     # skew control for hot LSH bands (boilerplate shingles)
     max_band_size: int = 200      # bands larger than this are capped
     band_salt_buckets: int = 8
+    # skew control for hot SimHash chunk buckets: a 16-bit chunk key
+    # space (64 bits / 4 tables) caps out at 65k distinct buckets per
+    # table — at 10^12 docs the mean bucket is ~1.5e7 rows and the
+    # self-join is O(bucket²). Buckets above this are dropped from
+    # pair generation (a doc in a capped bucket still meets its dups
+    # in the other 3 chunk tables AND the MinHash/LSH tier); hot
+    # sub-cap buckets take the salted self-join.
+    max_chunk_bucket: int = 1000
     # determinism
     seed: int = 42
     # large-scale guards (reference 1 MiB record cap, storage.cpp:516)

@@ -17,17 +17,17 @@ redact-cmd masks (reference src/cli.cpp:236-252):
   last; <=2 → all ``*``; no ``@`` → every char ``*``.
 - ``mask_phone_redact``: ``*`` every digit, keep punctuation.
 
-Everything except mask_name / mask_phone_policy is a pure column
-expression; those two use Arrow-batched pandas UDFs (never per-row).
+Every mask is a pure column expression (whole-stage codegen, zero
+Python in the redact hot path); the two stateful scans
+(mask_phone_policy, mask_name) use F.aggregate / regexp identities
+rather than pandas UDFs — tools/explain_audit.py asserts no
+ArrowEvalPython node appears in the mask query plans.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql import types as T
 
 from acxspark.functions.normalize import _c
 
@@ -66,56 +66,51 @@ def mask_phone_redact(col) -> Column:
     return F.regexp_replace(_c(col), r"[0-9]", "*")
 
 
-@pandas_udf(T.StringType())
-def _mask_phone_policy_udf(s: pd.Series) -> pd.Series:
-    def one(p):
-        if p is None:
-            return None
-        d = [c for c in p if c.isdigit() or c == "+"]
-        digits = sum(c.isdigit() for c in d)
-        if digits <= 4:
-            return "".join(d)
-        to_mask = digits - 4
-        out = []
-        for c in d:
-            if c.isdigit() and to_mask > 0:
-                out.append("x")
-                to_mask -= 1
-            else:
-                out.append(c)
-        return "".join(out)
-
-    return s.map(one)
-
-
 def mask_phone_policy(col) -> Column:
     """Keep digits/``+``, mask all but last 4 digits with ``x``
-    (reference src/policy.cpp:45-59). The keep-some/mask-others
-    positional scan is genuinely stateful → Arrow pandas UDF."""
-    return _mask_phone_policy_udf(_c(col))
+    (reference src/policy.cpp:45-59).
 
-
-@pandas_udf(T.StringType())
-def _mask_name_udf(s: pd.Series) -> pd.Series:
-    def one(v):
-        if v is None:
-            return None
-        out, first = [], True
-        for c in v:
-            if c.isalpha():
-                if first:
-                    out.append(c)
-                    first = False
-                else:
-                    out.append("*")
-            else:
-                out.append(c)
-        return "".join(out)
-
-    return s.map(one)
+    The keep-some/mask-others positional scan is stateful, but still
+    expressible JVM-side: filter the string to digits/``+``, then walk
+    it with ``F.aggregate`` carrying (digits seen, output) — a
+    whole-stage-codegen expression over phone-length strings, which
+    beats shipping every row through an Arrow Python worker. The
+    former pandas-UDF formulation is the semantics spec (test vectors
+    in tests/test_functions.py are unchanged)."""
+    col = _c(col)
+    kept = F.regexp_replace(col, r"[^0-9+]", "")
+    n_digits = F.length(F.regexp_replace(kept, r"[^0-9]", ""))
+    to_mask = n_digits - F.lit(4)
+    walked = F.aggregate(
+        F.split(kept, ""),
+        F.struct(F.lit(0).alias("seen"), F.lit("").alias("out")),
+        lambda acc, ch: F.struct(
+            (acc["seen"] + F.when(ch.rlike("^[0-9]$"), 1).otherwise(0)).alias("seen"),
+            F.concat(
+                acc["out"],
+                F.when(ch.rlike("^[0-9]$") & (acc["seen"] < to_mask), F.lit("x"))
+                .otherwise(ch),
+            ).alias("out"),
+        ),
+        lambda acc: acc["out"],
+    )
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(walked)
 
 
 def mask_name(col) -> Column:
     """Keep first alpha char overall, ``*`` later alphas, pass through
-    non-alpha (reference src/policy.cpp:22-35)."""
-    return _mask_name_udf(_c(col))
+    non-alpha (reference src/policy.cpp:22-35).
+
+    Pure column expressions: the first-alpha position is the length of
+    the leading non-alpha run; everything after it has its alphas
+    starred with one regexp_replace. ASCII alpha ([A-Za-z]) is faithful
+    parity — the reference's std::isalpha under the default C locale is
+    ASCII-only. (This is the oracle SQL's own formulation, promoted to
+    the engine; the pandas UDF it replaces was the only Python in the
+    redact stage.)"""
+    col = _c(col)
+    fp = F.length(F.regexp_extract(col, r"^[^A-Za-z]*", 0)) + 1
+    return F.concat(
+        F.substr(col, F.lit(1), fp),
+        F.regexp_replace(F.substr(col, fp + 1), r"[A-Za-z]", "*"),
+    )

@@ -30,6 +30,29 @@ CONTACT_SCHEMA = T.StructType(
     [T.StructField(c, T.StringType()) for c in CONTACT_COLUMNS]
 )
 
+# full record shape: the reference's Contact model carries a nested
+# audit trail (history: array<struct{timestamp,user,action}>,
+# src/model.hpp:8-27) and the JSON-Schema interchange shape adds
+# tags: array<string> + country (schemas/contact.schema.json:1-36).
+HISTORY_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("timestamp", T.StringType()),
+            T.StructField("user", T.StringType()),
+            T.StructField("action", T.StringType()),
+        ]
+    )
+)
+
+CONTACT_FULL_SCHEMA = T.StructType(
+    list(CONTACT_SCHEMA.fields)
+    + [
+        T.StructField("country", T.StringType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("history", HISTORY_TYPE),
+    ]
+)
+
 
 def read_jsonl(
     spark: SparkSession,

@@ -110,6 +110,8 @@ def near_dup_pairs_blocked(
     vec_col: str = "embedding",
     threshold: float = 0.5,
     sim_decimals: int = 4,
+    max_broadcast_rows: int = 1_000_000,
+    on_overflow: str = "raise",
 ) -> DataFrame:
     """Same output as :func:`near_dup_pairs`, computed as one numpy
     matmul per Arrow batch against a broadcast of the normalized
@@ -118,15 +120,36 @@ def near_dup_pairs_blocked(
     The zip_with/aggregate cosine is ~100 ns/element interpreted; the
     matmul is BLAS. Each executor partition of B rows does one
     (B × dim) @ (dim × N) multiply — this is the right physical shape
-    whenever the corpus matrix fits a broadcast (N ≲ 10^7 at 64 dims).
-    Above that, the LSH-bucketed path (:func:`lsh_near_dup_pairs`)
-    replaces the all-pairs scan entirely.
+    whenever the corpus matrix fits a broadcast.
+
+    This path pulls the (id, vector) projection through the driver to
+    build the broadcast matrix, so it is HARD-GUARDED: corpora above
+    ``max_broadcast_rows`` (default 10^6 ≈ 512 MB at 64-dim float64)
+    either raise (``on_overflow='raise'``) or fall back to the
+    bucketed :func:`lsh_near_dup_pairs` scale path
+    (``on_overflow='lsh'`` — probabilistic recall, no driver collect,
+    no all-pairs scan). The guard is a count on the slim projection,
+    enforced — not a docstring promise.
     """
     import pandas as pd
     from pyspark.sql import types as T
 
     spark = corpus.sparkSession
-    pdf = corpus.select(id_col, vec_col).toPandas()
+    slim = corpus.select(id_col, vec_col)
+    n = slim.count()
+    if n > max_broadcast_rows:
+        if on_overflow == "lsh":
+            return lsh_near_dup_pairs(
+                corpus, id_col, vec_col, threshold=threshold,
+                dim=None, sim_decimals=sim_decimals,
+            )
+        raise ValueError(
+            f"near_dup_pairs_blocked: corpus has {n} rows > "
+            f"max_broadcast_rows={max_broadcast_rows}; the broadcast "
+            "matrix would not fit. Use lsh_near_dup_pairs (or pass "
+            "on_overflow='lsh')."
+        )
+    pdf = slim.toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -189,7 +212,7 @@ def lsh_near_dup_pairs(
     threshold: float = 0.5,
     n_planes: int = 8,
     n_tables: int = 4,
-    dim: int = 64,
+    dim: int | None = 64,
     seed: int = 42,
     sim_decimals: int = 4,
 ) -> DataFrame:
@@ -202,6 +225,8 @@ def lsh_near_dup_pairs(
     :func:`near_dup_pairs` in pytest (not an oracle query — LSH is
     probabilistic by construction).
     """
+    if dim is None:  # infer from one row (schema carries no length)
+        dim = len(corpus.select(vec_col).head()[0])
     tables = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + t)

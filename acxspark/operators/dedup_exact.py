@@ -31,12 +31,21 @@ from acxspark.operators.cc import connected_components
 
 def first_wins(df: DataFrame, key_col: str, seq_col: str) -> DataFrame:
     """Keep the first-by-seq row per key; NULL keys always survive
-    (reference src/cli.cpp:303-304: unparseable lines pass through)."""
+    (reference src/cli.cpp:303-304: unparseable lines pass through).
+
+    NULL-key rows are routed AROUND the window: partitionBy sends all
+    NULL keys to one partition, so a corpus that is 10% unparseable
+    would sort 10^11 rows in a single task just to filter them back
+    in. The bypass union keeps the window's input null-free."""
+    with_key = df.filter(F.col(key_col).isNotNull())
+    null_key = df.filter(F.col(key_col).isNull())
     w = Window.partitionBy(key_col).orderBy(F.col(seq_col).asc())
-    ranked = df.withColumn("_rn", F.row_number().over(w))
-    return (
-        ranked.filter(F.col(key_col).isNull() | (F.col("_rn") == 1)).drop("_rn")
+    winners = (
+        with_key.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
+    return winners.unionByName(null_key)
 
 
 def exact_text_dedup(df: DataFrame, id_col: str, text_col: str = "text",

@@ -123,3 +123,88 @@ def set_difference(a: DataFrame, b: DataFrame) -> DataFrame:
     """Distinct rows of a not present in b (reference std::set_difference
     diff of email sets, src/cli.cpp:318-321)."""
     return a.exceptAll(b.distinct()).distinct()
+
+
+# ------------------------------------------------- nested history/tags
+
+
+def history_entry(ts, user: str, action: str):
+    """One reference HistoryEntry (src/model.hpp:8-14) as a struct
+    column: {timestamp, user, action}."""
+    return F.struct(
+        F.lit(ts).alias("timestamp") if isinstance(ts, str) else ts.alias("timestamp"),
+        F.lit(user).alias("user"),
+        F.lit(action).alias("action"),
+    )
+
+
+def append_history(history_col, ts, user: str, action: str):
+    """history ++ [entry] — the reference's push_back on every add /
+    edit / delete (src/storage.cpp:139,187,208). NULL history is an
+    empty array (records imported from flat sources)."""
+    empty = F.array().cast(
+        "array<struct<timestamp:string,user:string,action:string>>"
+    )
+    return F.concat(
+        F.coalesce(history_col, empty),
+        F.array(history_entry(ts, user, action)),
+    )
+
+
+def merge_edit_history(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key: str,
+    ts_col: str,
+    user: str = "import",
+) -> DataFrame:
+    """prefer-newer merge that maintains the nested audit trail:
+
+    - incoming wins (strictly newer ``ts_col``) → existing's history
+      ++ one 'edited' entry (reference src/storage.cpp:187);
+    - brand-new key → incoming's history ++ one 'created' entry
+      (src/storage.cpp:139,458);
+    - existing wins → history unchanged.
+
+    ``tags`` (interchange schema, schemas/contact.schema.json) merge
+    as the sorted distinct union on edit. Columns: all of existing's
+    plus ``src``; ``history``/``tags`` must exist on both sides
+    (CONTACT_FULL_SCHEMA) — the entry timestamp is the incoming row's
+    ``ts_col`` so the result is deterministic (no wall clock)."""
+    cols = existing.columns
+    e = existing.select(*[F.col(c).alias(f"e_{c}") for c in cols])
+    i = incoming.select(*[F.col(c).alias(f"i_{c}") for c in cols])
+    j = e.join(i, e[f"e_{key}"] == i[f"i_{key}"], "full_outer")
+    is_new = F.col(f"e_{key}").isNull()
+    edited = (
+        F.col(f"e_{key}").isNotNull()
+        & F.col(f"i_{key}").isNotNull()
+        & (F.col(f"i_{ts_col}") > F.col(f"e_{ts_col}"))
+    )
+    take_incoming = is_new | edited
+
+    def merged(c: str):
+        if c == "history":
+            return (
+                F.when(is_new, append_history(F.col("i_history"),
+                                              F.col(f"i_{ts_col}"), user, "created"))
+                .when(edited, append_history(F.col("e_history"),
+                                             F.col(f"i_{ts_col}"), user, "edited"))
+                .otherwise(F.col("e_history"))
+            )
+        if c == "tags":
+            return (
+                F.when(is_new, F.col("i_tags"))
+                .when(edited, F.sort_array(F.array_distinct(
+                    F.concat(
+                        F.coalesce(F.col("e_tags"), F.array().cast("array<string>")),
+                        F.coalesce(F.col("i_tags"), F.array().cast("array<string>")),
+                    ))))
+                .otherwise(F.col("e_tags"))
+            )
+        return F.when(take_incoming, F.col(f"i_{c}")).otherwise(F.col(f"e_{c}"))
+
+    return j.select(
+        *[merged(c).alias(c) for c in cols],
+        F.when(take_incoming, F.lit("incoming")).otherwise(F.lit("existing")).alias("src"),
+    )

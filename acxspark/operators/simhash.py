@@ -104,27 +104,76 @@ def chunk_keys(sim_col, cfg: DedupConfig = DEFAULT_CONFIG) -> Column:
 
 def simhash_candidate_pairs(df: DataFrame, id_col: str,
                             sim_col: str = "simhash",
-                            cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+                            cfg: DedupConfig = DEFAULT_CONFIG,
+                            salted: bool = True,
+                            caches: list[DataFrame] | None = None) -> DataFrame:
     """Pairs within Hamming distance <= cfg.simhash_max_hamming.
 
-    Exhaustive by pigeonhole (d < tables). Joined per shared chunk,
-    then verified with the exact popcount filter JVM-side.
+    Exhaustive by pigeonhole (d < tables) UP TO the hot-bucket cap.
+    Skew defense mirrors the LSH tier (operators/lsh.py) exactly:
+
+    1. chunk buckets are keyed by xxhash64(chunk_idx, chunk_val) — a
+       collision across distinct chunks only ADDS candidates, which
+       the exact popcount filter removes, so correctness is unaffected;
+    2. buckets with > ``cfg.max_chunk_bucket`` members are dropped
+       from pair generation (a doc there still meets its dups in the
+       other ``tables - 1`` chunk tables and in the MinHash/LSH tier);
+    3. hot sub-cap buckets (> cap/4) go through the salted self-join
+       (:func:`acxspark.operators.lsh.salted_self_join_pairs` — output
+       proven identical to the plain join), cold buckets join plain;
+    4. surviving id pairs re-join the slim (id, simhash) frame and the
+       exact Hamming distance is verified JVM-side via bit_count.
+
+    The pair-generation shuffle carries only (band_key, id) longs —
+    fingerprints ride the final verification join, never the self-join.
     """
+    from acxspark.operators.lsh import _BAND_CACHES, salted_self_join_pairs
+
+    sims = df.select(F.col(id_col), F.col(sim_col))
     keyed = (
-        df.select(F.col(id_col), F.col(sim_col),
+        df.select(F.col(id_col),
                   F.explode(chunk_keys(F.col(sim_col), cfg)).alias("c"))
-        .select(id_col, sim_col, F.col("c.chunk_idx").alias("chunk_idx"),
-                F.col("c.chunk_val").alias("chunk_val"))
+        .select(id_col,
+                F.xxhash64(F.col("c.chunk_idx"), F.col("c.chunk_val")).alias("band_key"))
+    ).persist()
+    (caches if caches is not None else _BAND_CACHES).append(keyed)
+    sizes = keyed.groupBy("band_key").agg(F.count("*").alias("band_n"))
+    keyed = keyed.join(
+        F.broadcast(sizes.filter(F.col("band_n") > cfg.max_chunk_bucket)),
+        "band_key", "left_anti",
     )
-    a = keyed.select(F.col("chunk_idx"), F.col("chunk_val"),
-                     F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"))
-    b = keyed.select(F.col("chunk_idx"), F.col("chunk_val"),
-                     F.col(id_col).alias("id_b"), F.col(sim_col).alias("sim_b"))
+
+    def plain_pairs(rows: DataFrame) -> DataFrame:
+        a = rows.select("band_key", F.col(id_col).alias("id_a"))
+        b = rows.select("band_key", F.col(id_col).alias("id_b"))
+        return (
+            a.join(b, "band_key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+
+    if salted and cfg.band_salt_buckets > 1:
+        hot_threshold = max(cfg.max_chunk_bucket // 4, 2 * cfg.band_salt_buckets)
+        hot_keys = F.broadcast(
+            sizes.filter(
+                (F.col("band_n") > hot_threshold)
+                & (F.col("band_n") <= cfg.max_chunk_bucket)
+            ).select("band_key")
+        )
+        hot = keyed.join(hot_keys, "band_key", "left_semi")
+        cold = keyed.join(hot_keys, "band_key", "left_anti")
+        cand = plain_pairs(cold).unionByName(
+            salted_self_join_pairs(hot, id_col, cfg.band_salt_buckets)
+        ).distinct()
+    else:
+        cand = plain_pairs(keyed).distinct()
+
+    a = sims.select(F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"))
+    b = sims.select(F.col(id_col).alias("id_b"), F.col(sim_col).alias("sim_b"))
+    ham = hamming_distance(F.col("sim_a"), F.col("sim_b"))
     return (
-        a.join(b, ["chunk_idx", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(hamming_distance(F.col("sim_a"), F.col("sim_b")) <= cfg.simhash_max_hamming)
-        .select("id_a", "id_b",
-                hamming_distance(F.col("sim_a"), F.col("sim_b")).alias("hamming"))
+        cand.join(a, "id_a").join(b, "id_b")
+        .filter(ham <= cfg.simhash_max_hamming)
+        .select("id_a", "id_b", ham.alias("hamming"))
         .distinct()
     )

@@ -55,7 +55,17 @@ def exact_jaccard_edges(pairs: DataFrame, docs_with_shingles: DataFrame,
 
 
 def _suffix_array(s: str) -> list[int]:
-    """O(n log^2 n) doubling suffix array — library-free, deterministic."""
+    """O(n log^2 n) doubling suffix array — library-free, deterministic.
+
+    KEPT ONLY for the opt-in ``use_suffix_array`` mode of
+    :func:`containment_edges`: an interpreted-Python SA build with a
+    per-comparison closure key costs minutes on a 1 MiB text, while
+    CPython's C-implemented two-way search (``needle in haystack``)
+    scans the same text in ~1 ms — the SA can only amortize when very
+    many probes (≫ SA build cost / scan cost ≈ thousands) share one
+    haystack, which the ≤64-doc group cap makes impossible. The
+    default path therefore uses ``in``; output is identical (tested).
+    """
     n = len(s)
     sa = list(range(n))
     rank = [ord(c) for c in s]
@@ -91,12 +101,18 @@ def _contains_via_sa(hay: str, sa: list[int], needle: str) -> bool:
 def containment_edges(pairs: DataFrame, docs: DataFrame, id_col: str,
                       text_col: str = "text",
                       min_inner_chars: int = 64,
-                      max_group_docs: int = 64) -> DataFrame:
+                      max_group_docs: int = 64,
+                      use_suffix_array: bool = False) -> DataFrame:
     """Mark candidate pairs where one text contains the other.
 
     Grouping key = id_a, so each group holds one left doc + all its
-    candidate partners; the suffix array over the longer text is built
-    once per unique long-side within the group.
+    candidate partners. The substring probe defaults to CPython's
+    C-implemented two-way search (``inner in outer``) — at the 1 MiB
+    text cap a scan is ~1 ms, while the interpreted suffix-array build
+    it replaced cost minutes on the same text and could only win with
+    thousands of probes per haystack (impossible under the ≤64-doc
+    group cap). ``use_suffix_array=True`` keeps the SA path (same
+    output, tested) for environments with a C-speed SA builder.
     """
     d = docs.select(F.col(id_col), F.col(text_col))
     j = (
@@ -113,10 +129,12 @@ def containment_edges(pairs: DataFrame, docs: DataFrame, id_col: str,
             inner, outer = (a, b) if len(a) <= len(b) else (b, a)
             if len(inner) < min_inner_chars or not inner or not outer:
                 contained = False
-            else:
+            elif use_suffix_array:
                 if outer not in sa_cache:
                     sa_cache[outer] = _suffix_array(outer)
                 contained = _contains_via_sa(outer, sa_cache[outer], inner)
+            else:
+                contained = inner in outer
             if contained:
                 rows.append({"id_a": r.id_a, "id_b": r.id_b})
         return pd.DataFrame(rows, columns=["id_a", "id_b"])

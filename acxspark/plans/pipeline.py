@@ -145,7 +145,9 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     caches.append(near_edges)
 
     # ---- simhash tier (recall supplement for tiny-edit dups) ---------
-    sim_edges = simhash_candidate_pairs(sigs, "url", "simhash", cfg).select(
+    sim_edges = simhash_candidate_pairs(
+        sigs, "url", "simhash", cfg, caches=caches
+    ).select(
         "id_a", "id_b"
     ).withColumn("tier", F.lit("simhash"))
 

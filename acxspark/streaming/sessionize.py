@@ -133,7 +133,12 @@ def sessionize_batch(events: DataFrame, gap_seconds: float = 1800) -> DataFrame:
         )
         .otherwise(0)
     )
-    sess = e.withColumn("session_no", F.sum(gap_flag).over(w))
+    # explicit ROWS frame: the default RANGE frame makes tied
+    # (user_id, ts) rows share the cumulative value, diverging from
+    # the DuckDB oracle's ROWS UNBOUNDED PRECEDING on duplicate
+    # timestamps (latent — test timestamps were unique)
+    w_rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.withColumn("session_no", F.sum(gap_flag).over(w_rows))
     return (
         sess.groupBy("user_id", "session_no")
         .agg(

@@ -68,6 +68,34 @@ def test_lsh_near_dup_recall_vs_brute_force(vectors):
     assert recall >= 0.95, f"LSH recall {recall}"
 
 
+def test_blocked_path_guard_raises_and_falls_back(vectors):
+    """The blocked-matmul path collects the corpus to the driver to
+    build its broadcast matrix, so its row guard must be ENFORCED:
+    above max_broadcast_rows it raises, or routes to the LSH path
+    when on_overflow='lsh' (no driver collect, subset of exact)."""
+    df, _ = vectors
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        ann.near_dup_pairs_blocked(df, threshold=0.9, max_broadcast_rows=10)
+    exact = {(r["id_a"], r["id_b"])
+             for r in ann.near_dup_pairs(df, threshold=0.9).collect()}
+    fb = {(r["id_a"], r["id_b"])
+          for r in ann.near_dup_pairs_blocked(
+              df, threshold=0.9, max_broadcast_rows=10, on_overflow="lsh"
+          ).collect()}
+    assert fb <= exact and len(fb) > 0
+
+
+def test_blocked_path_matches_brute_force(vectors):
+    """Under the guard, the blocked matmul is bit-equal to the
+    zip_with/aggregate brute force (same rounding)."""
+    df, _ = vectors
+    exact = {(r["id_a"], r["id_b"], r["sim"])
+             for r in ann.near_dup_pairs(df, threshold=0.9).collect()}
+    blocked = {(r["id_a"], r["id_b"], r["sim"])
+               for r in ann.near_dup_pairs_blocked(df, threshold=0.9).collect()}
+    assert blocked == exact
+
+
 def test_ngram_jaccard_pairs_and_survivors(spark):
     docs = spark.createDataFrame(
         [

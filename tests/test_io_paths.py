@@ -76,3 +76,28 @@ def test_tsv_roundtrip(spark, contacts, tmp_path):
     back = IO.read_csv(spark, out, sep="\t")
     assert back.count() == 3
     assert sorted(r["name"] for r in back.collect()) == ["Ann", "Bob", "Cara"]
+
+
+def test_jsonl_roundtrip_nested_history_tags(spark, tmp_path):
+    """CONTACT_FULL_SCHEMA: the nested history array and tags survive
+    a JSONL write -> read roundtrip byte-faithfully (reference
+    interchange shape, schemas/contact.schema.json + model.hpp:8-27)."""
+    rows = [
+        ("1", "Ann", "a@x.com", "1", "", "2025-01-01T00:00:00Z", "US",
+         ["vip", "crm"], [("2025-01-01T00:00:00Z", "import", "created"),
+                          ("2025-02-01T00:00:00Z", "alice", "edited")]),
+        ("2", "Bob", "b@x.com", "2", "n", "2025-01-02T00:00:00Z", None,
+         None, None),
+    ]
+    df = spark.createDataFrame(rows, IO.CONTACT_FULL_SCHEMA)
+    out = str(tmp_path / "nested_jsonl")
+    IO.write_jsonl(df, out)
+    back = IO.read_jsonl(spark, out, schema=IO.CONTACT_FULL_SCHEMA,
+                         keep_corrupt=False)
+    got = {r["id"]: r for r in back.collect()}
+    assert got["1"]["tags"] == ["vip", "crm"]
+    assert [(h["timestamp"], h["user"], h["action"]) for h in got["1"]["history"]] == [
+        ("2025-01-01T00:00:00Z", "import", "created"),
+        ("2025-02-01T00:00:00Z", "alice", "edited"),
+    ]
+    assert got["2"]["history"] is None and got["2"]["tags"] is None

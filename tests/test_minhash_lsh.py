@@ -81,6 +81,37 @@ def test_simhash_candidates(spark):
     assert ("a", "c") not in pairs
 
 
+def test_simhash_salted_equals_plain_on_hot_bucket(spark):
+    """The SimHash tier's salted self-join must emit EXACTLY the plain
+    join's pairs on a corpus with a hot chunk bucket (30 identical
+    fingerprints ⇒ every chunk bucket has 30 members, above the
+    hot threshold, below the cap)."""
+    base = " ".join(f"tok{i}" for i in range(100))
+    rows = [(f"u{i:02d}", base if i < 30 else f"unique {i} " * 40)
+            for i in range(40)]
+    df = with_simhash(spark.createDataFrame(rows, ["url", "text"]))
+    cfg = DedupConfig(max_chunk_bucket=100, band_salt_buckets=4)
+    plain = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+             simhash_candidate_pairs(df, "url", cfg=cfg, salted=False).collect()}
+    salted = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+              simhash_candidate_pairs(df, "url", cfg=cfg, salted=True).collect()}
+    assert plain == salted and len(plain) >= 30 * 29 // 2
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """Buckets above max_chunk_bucket drop out of pair generation —
+    the O(bucket²) self-join cannot detonate on a degenerate chunk.
+    30 identical docs, cap 10 ⇒ every chunk bucket capped ⇒ 0 pairs."""
+    rows = [(f"u{i:02d}", "same words everywhere forever and ever amen")
+            for i in range(30)]
+    df = with_simhash(spark.createDataFrame(rows, ["url", "text"]))
+    cfg = DedupConfig(max_chunk_bucket=10)
+    assert simhash_candidate_pairs(df, "url", cfg=cfg).count() == 0
+    # and with the cap above the bucket size, all pairs come back
+    cfg2 = DedupConfig(max_chunk_bucket=100)
+    assert simhash_candidate_pairs(df, "url", cfg=cfg2).count() == 30 * 29 // 2
+
+
 def test_salted_pairs_equal_unsalted(spark):
     """Salted band-key self-join (north_rule: salted band-key
     repartitioning) must produce exactly the plain self-join's pairs."""

@@ -26,6 +26,32 @@ def result(spark, corpus):
     return res, clusters
 
 
+def test_containment_in_equals_suffix_array(spark, corpus):
+    """The default C-speed ``inner in outer`` probe must produce
+    exactly the suffix-array path's edges on the planted containment
+    fixtures (kind='contain') plus negatives."""
+    from acxspark.operators.verify import containment_edges
+
+    web, tp, _ = to_spark(spark, corpus)
+    contain_truth = [
+        (a, b) for a, b, k in tp.collect() if k == "contain"
+    ]
+    assert contain_truth, "corpus must plant containment pairs"
+    # candidate pairs: the planted containment pairs + some non-pairs
+    urls = [r["url"] for r in web.select("url").limit(20).collect()]
+    negatives = list(zip(urls[:10], urls[10:20]))
+    cand = spark.createDataFrame(
+        [(a, b) for a, b in contain_truth + negatives], "id_a string, id_b string"
+    )
+    docs = web.select("url", "text")
+    fast = {(r["id_a"], r["id_b"]) for r in containment_edges(
+        cand, docs, "url", use_suffix_array=False).collect()}
+    sa = {(r["id_a"], r["id_b"]) for r in containment_edges(
+        cand, docs, "url", use_suffix_array=True).collect()}
+    assert fast == sa
+    assert set(contain_truth) <= fast  # planted pairs all detected
+
+
 def test_recall_gate(result, corpus):
     """>= 0.99 of planted truth pairs end up in the same cluster."""
     _, clusters = result

@@ -87,3 +87,45 @@ def test_set_difference(spark):
     a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k int")
     b = spark.createDataFrame([(3,), (4,)], "k int")
     assert sorted(r["k"] for r in R.set_difference(a, b).collect()) == [1, 2]
+
+
+def test_merge_edit_history_appends_and_unions_tags(spark):
+    """Nested audit trail (reference src/model.hpp:8-27,
+    src/storage.cpp:139,187): edit appends an 'edited' entry to the
+    EXISTING history, new keys get 'created', untouched keys keep
+    their history; tags union sorted on edit."""
+    from acxspark.operators.relational import merge_edit_history
+
+    hist_t = "array<struct<timestamp:string,user:string,action:string>>"
+    existing = spark.createDataFrame(
+        [
+            ("a", "2025-01-01", ["crm"],
+             [("2025-01-01", "import", "created")]),
+            ("b", "2025-01-01", ["old"],
+             [("2025-01-01", "import", "created")]),
+        ],
+        f"id string, updated_at string, tags array<string>, history {hist_t}",
+    )
+    incoming = spark.createDataFrame(
+        [
+            ("a", "2025-06-01", ["delta"], []),   # newer -> edited
+            ("b", "2024-06-01", ["x"], []),       # older -> existing wins
+            ("c", "2025-06-01", ["fresh"], []),   # new -> created
+        ],
+        f"id string, updated_at string, tags array<string>, history {hist_t}",
+    )
+    out = {r["id"]: r for r in
+           merge_edit_history(existing, incoming, "id", "updated_at").collect()}
+    a = out["a"]
+    assert a["src"] == "incoming"
+    assert [h["action"] for h in a["history"]] == ["created", "edited"]
+    assert a["history"][1]["timestamp"] == "2025-06-01"
+    assert a["tags"] == ["crm", "delta"]
+    b = out["b"]
+    assert b["src"] == "existing"
+    assert [h["action"] for h in b["history"]] == ["created"]
+    assert b["tags"] == ["old"]
+    c = out["c"]
+    assert c["src"] == "incoming"
+    assert [h["action"] for h in c["history"]] == ["created"]
+    assert c["tags"] == ["fresh"]
