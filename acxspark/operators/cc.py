@@ -84,7 +84,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
 
     prev = None
     for i in range(start_iter, max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint + checksum = ONE driver-synchronized job per
+        # round (the checksum action materializes the checkpoint):
+        # halves the per-round scheduling barrier of the O(log n) loop
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
         if catalog is not None:
             catalog.write(table, e, meta={"iteration": i + 1, "checksum": list(cur)})

@@ -130,18 +130,50 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
     from acxspark.operators.lsh import _BAND_CACHES, salted_self_join_pairs
 
     sims = df.select(F.col(id_col), F.col(sim_col))
+    # the fingerprint (8 bytes) rides the self-join rows: carrying it
+    # costs less than the two id-join passes a rejoin would take, and
+    # lets the common no-hot-bucket case run as ONE equi-join
     keyed = (
-        df.select(F.col(id_col),
+        df.select(F.col(id_col), F.col(sim_col),
                   F.explode(chunk_keys(F.col(sim_col), cfg)).alias("c"))
-        .select(id_col,
+        .select(id_col, sim_col,
                 F.xxhash64(F.col("c.chunk_idx"), F.col("c.chunk_val")).alias("band_key"))
     ).persist()
     (caches if caches is not None else _BAND_CACHES).append(keyed)
     sizes = keyed.groupBy("band_key").agg(F.count("*").alias("band_n"))
-    keyed = keyed.join(
+    kc = keyed.join(
         F.broadcast(sizes.filter(F.col("band_n") > cfg.max_chunk_bucket)),
         "band_key", "left_anti",
     )
+    ham = hamming_distance(F.col("sim_a"), F.col("sim_b"))
+
+    hot_threshold = max(cfg.max_chunk_bucket // 4, 2 * cfg.band_salt_buckets)
+    hot_sizes = sizes.filter(
+        (F.col("band_n") > hot_threshold)
+        & (F.col("band_n") <= cfg.max_chunk_bucket)
+    )
+    # ADAPTIVE engagement: the salted arm (split + replicate + rejoin)
+    # costs real plan machinery even when empty, so probe whether any
+    # hot bucket exists first — one tiny agg over the cached keyed
+    # rows (this also warms the cache the cap anti-join reads).
+    use_salted = (
+        salted
+        and cfg.band_salt_buckets > 1
+        and hot_sizes.limit(1).count() > 0
+    )
+
+    if not use_salted:
+        a = kc.select("band_key", F.col(id_col).alias("id_a"),
+                      F.col(sim_col).alias("sim_a"))
+        b = kc.select("band_key", F.col(id_col).alias("id_b"),
+                      F.col(sim_col).alias("sim_b"))
+        return (
+            a.join(b, "band_key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(ham <= cfg.simhash_max_hamming)
+            .select("id_a", "id_b", ham.alias("hamming"))
+            .distinct()
+        )
 
     def plain_pairs(rows: DataFrame) -> DataFrame:
         a = rows.select("band_key", F.col(id_col).alias("id_a"))
@@ -152,25 +184,15 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
             .select("id_a", "id_b")
         )
 
-    if salted and cfg.band_salt_buckets > 1:
-        hot_threshold = max(cfg.max_chunk_bucket // 4, 2 * cfg.band_salt_buckets)
-        hot_keys = F.broadcast(
-            sizes.filter(
-                (F.col("band_n") > hot_threshold)
-                & (F.col("band_n") <= cfg.max_chunk_bucket)
-            ).select("band_key")
-        )
-        hot = keyed.join(hot_keys, "band_key", "left_semi")
-        cold = keyed.join(hot_keys, "band_key", "left_anti")
-        cand = plain_pairs(cold).unionByName(
-            salted_self_join_pairs(hot, id_col, cfg.band_salt_buckets)
-        ).distinct()
-    else:
-        cand = plain_pairs(keyed).distinct()
-
+    hot_keys = F.broadcast(hot_sizes.select("band_key"))
+    slim = kc.select("band_key", id_col)
+    hot = slim.join(hot_keys, "band_key", "left_semi")
+    cold = slim.join(hot_keys, "band_key", "left_anti")
+    cand = plain_pairs(cold).unionByName(
+        salted_self_join_pairs(hot, id_col, cfg.band_salt_buckets)
+    ).distinct()
     a = sims.select(F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"))
     b = sims.select(F.col(id_col).alias("id_b"), F.col(sim_col).alias("sim_b"))
-    ham = hamming_distance(F.col("sim_a"), F.col("sim_b"))
     return (
         cand.join(a, "id_a").join(b, "id_b")
         .filter(ham <= cfg.simhash_max_hamming)

@@ -6,6 +6,7 @@ scale rationale; the local[N] values are the sandbox stand-ins.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 import zipfile
@@ -55,6 +56,11 @@ def get_spark(
 
     cpus = parallelism or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     master = f"local[{cpus}]"
+    # benchmarking hook: JSON dict of extra spark confs, applied last
+    # (tools/bench_scaling.py uses this for per-level tuning passes)
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        extra_conf = {**json.loads(env_conf), **(extra_conf or {})}
     # shuffle partitions: ~2-3x total cores locally. On a 1000-executor
     # cluster reading 100 TB this is instead sized so post-shuffle
     # partitions land near 128-256 MB; AQE coalescing makes the static
