@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs_docs",
     "minhash_lsh_pairs_docs",
     "simhash_hamming_pairs_docs",
+    # round-2 surfaces
+    "schema_conformance",
+    "history_append_merge",
+    "mask_phone_policy_q",
 ]
 
 
