@@ -102,15 +102,17 @@ def mask_name(col) -> Column:
     non-alpha (reference src/policy.cpp:22-35).
 
     Pure column expressions: the first-alpha position is the length of
-    the leading non-alpha run; everything after it has its alphas
-    starred with one regexp_replace. ASCII alpha ([A-Za-z]) is faithful
-    parity — the reference's std::isalpha under the default C locale is
-    ASCII-only. (This is the oracle SQL's own formulation, promoted to
-    the engine; the pandas UDF it replaces was the only Python in the
-    redact stage.)"""
+    the leading non-letter run; everything after it has its letters
+    starred with one regexp_replace. Letters are UNICODE (\\p{L},
+    supported identically by java.util.regex and DuckDB's RE2) — the
+    reference's std::isalpha is C-locale ASCII, but a PII mask that
+    lets 'Ольга' through unmasked is a leak, so the wider class wins
+    (this also matches the round-1 pandas-UDF behavior, which used
+    Python's Unicode isalpha). The UDF is gone: zero Python in the
+    redact stage."""
     col = _c(col)
-    fp = F.length(F.regexp_extract(col, r"^[^A-Za-z]*", 0)) + 1
+    fp = F.length(F.regexp_extract(col, r"^[^\p{L}]*", 0)) + 1
     return F.concat(
         F.substr(col, F.lit(1), fp),
-        F.regexp_replace(F.substr(col, fp + 1), r"[A-Za-z]", "*"),
+        F.regexp_replace(F.substr(col, fp + 1), r"\p{L}", "*"),
     )

@@ -136,15 +136,16 @@ def near_dup_pairs_blocked(
 
     spark = corpus.sparkSession
     slim = corpus.select(id_col, vec_col)
-    n = slim.count()
-    if n > max_broadcast_rows:
+    # limit-bounded probe: reads at most cap+1 rows to enforce the
+    # guard, instead of a full count scan before every call
+    if slim.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
         if on_overflow == "lsh":
             return lsh_near_dup_pairs(
                 corpus, id_col, vec_col, threshold=threshold,
                 dim=None, sim_decimals=sim_decimals,
             )
         raise ValueError(
-            f"near_dup_pairs_blocked: corpus has {n} rows > "
+            f"near_dup_pairs_blocked: corpus exceeds "
             f"max_broadcast_rows={max_broadcast_rows}; the broadcast "
             "matrix would not fit. Use lsh_near_dup_pairs (or pass "
             "on_overflow='lsh')."
@@ -226,7 +227,13 @@ def lsh_near_dup_pairs(
     probabilistic by construction).
     """
     if dim is None:  # infer from one row (schema carries no length)
-        dim = len(corpus.select(vec_col).head()[0])
+        row = corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).head()
+        if row is None:
+            raise ValueError(
+                "lsh_near_dup_pairs: cannot infer dim from an empty "
+                "corpus (or all-NULL vector column); pass dim explicitly"
+            )
+        dim = len(row[0])
     tables = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + t)

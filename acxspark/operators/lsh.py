@@ -54,12 +54,22 @@ def band_keys(df: DataFrame, id_col: str, sig_col: str = "minhash",
 _BAND_CACHES: list[DataFrame] = []
 
 
+def track_cache(df: DataFrame, caches: list[DataFrame] | None) -> DataFrame:
+    """Register a persisted intermediate for later release: in the
+    caller's ``caches`` list when given, else the module registry
+    drained by :func:`release_band_caches`. Shared contract for every
+    operator that persists band/bucket rows (LSH candidate_pairs,
+    SimHash simhash_candidate_pairs)."""
+    (caches if caches is not None else _BAND_CACHES).append(df)
+    return df
+
+
 def release_band_caches() -> None:
-    """Unpersist every band-rows cache created by
-    :func:`candidate_pairs` calls that did not pass ``caches``.
-    Library sessions that call candidate_pairs repeatedly should
-    release between runs — cached partitions otherwise accumulate
-    until memory pressure evicts them."""
+    """Unpersist every band/bucket-rows cache registered via
+    :func:`track_cache` by calls that did not pass ``caches`` (LSH
+    *and* SimHash tiers). Library sessions that generate candidate
+    pairs repeatedly should release between runs — cached partitions
+    otherwise accumulate until memory pressure evicts them."""
     while _BAND_CACHES:
         _BAND_CACHES.pop().unpersist()
 
@@ -83,8 +93,7 @@ def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
     # (bands × corpus rows) runs three times. The handle lands in
     # ``caches`` (caller releases) or the module registry
     # (release_band_caches()) so repeated calls don't leak cache.
-    bk = band_keys(df, id_col, sig_col, cfg).persist()
-    (caches if caches is not None else _BAND_CACHES).append(bk)
+    bk = track_cache(band_keys(df, id_col, sig_col, cfg).persist(), caches)
     # hot-band cap: window-free (two-pass agg is cheaper than a window
     # over the skewed key at scale — partial agg combines map-side)
     sizes = bk.groupBy("band_key").agg(F.count("*").alias("band_n"))

@@ -127,7 +127,7 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
     The pair-generation shuffle carries only (band_key, id) longs —
     fingerprints ride the final verification join, never the self-join.
     """
-    from acxspark.operators.lsh import _BAND_CACHES, salted_self_join_pairs
+    from acxspark.operators.lsh import salted_self_join_pairs, track_cache
 
     sims = df.select(F.col(id_col), F.col(sim_col))
     # the fingerprint (8 bytes) rides the self-join rows: carrying it
@@ -139,7 +139,7 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
         .select(id_col, sim_col,
                 F.xxhash64(F.col("c.chunk_idx"), F.col("c.chunk_val")).alias("band_key"))
     ).persist()
-    (caches if caches is not None else _BAND_CACHES).append(keyed)
+    track_cache(keyed, caches)
     sizes = keyed.groupBy("band_key").agg(F.count("*").alias("band_n"))
     kc = keyed.join(
         F.broadcast(sizes.filter(F.col("band_n") > cfg.max_chunk_bucket)),

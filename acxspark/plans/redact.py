@@ -38,9 +38,10 @@ from acxspark.functions.validate import EMAIL_LIKE_RE
 # Known limit: hyphenated ISBN segments like '306-40615' still look
 # structurally phone-like and are scrubbed.
 PHONE_LIKE_RE = (
-    r"\+\d{1,3}(?:[ .\-]\(?\d{1,6}\)?){1,4}\b"      # +CC g [g g g]
+    r"\+\d{7,15}\b"                                  # E.164 +CCnnnnnnnnn
+    r"|\+\d{1,3}(?:[ .\-]\(?\d{1,6}\)?){1,4}\b"      # +CC g [g g g]
     r"|\(\d{2,4}\)[ .\-]?\d{3,4}(?:[ .\-]?\d{2,6})?\b"  # (area) nnn-nnnn
-    r"|\b\d{3}[ .\-]\d{4,8}\b"                      # local nnn-nnnnnnn
+    r"|\b\d{3}[ .\-](?:\d{3}[ .\-]\d{2,6}|\d{4,8})\b"   # nnn-nnn-nnnn / nnn-nnnnnn
 )
 
 _FIELD_MASKS = {

@@ -56,11 +56,13 @@ def get_spark(
 
     cpus = parallelism or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     master = f"local[{cpus}]"
-    # benchmarking hook: JSON dict of extra spark confs, applied last
-    # (tools/bench_scaling.py uses this for per-level tuning passes)
+    # benchmarking hook: JSON dict of extra spark confs set in the
+    # environment (tools/scaling_job.py subprocesses inherit it for
+    # per-level tuning passes). Env wins over caller-passed conf —
+    # an external override hook that loses to defaults is useless.
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
     if env_conf:
-        extra_conf = {**json.loads(env_conf), **(extra_conf or {})}
+        extra_conf = {**(extra_conf or {}), **json.loads(env_conf)}
     # shuffle partitions: ~2-3x total cores locally. On a 1000-executor
     # cluster reading 100 TB this is instead sized so post-shuffle
     # partitions land near 128-256 MB; AQE coalescing makes the static

@@ -66,8 +66,25 @@ def test_scrub_text_phone_shapes(spark):
             ("intl +52 55 1234 5678 ok",),
             ("area (415) 555-0042 ok",),
             ("local 555-123456 ok",),
+            ("nanp 555-867-5309 ok",),
+            ("space 415 555 0199 ok",),
+            ("e164 +15551234567 ok",),
         ],
         "text string",
     )
     out = [r["text"] for r in scrub_text(df).collect()]
-    assert out == [f"{k} [PHONE] ok" for k in ("intl", "area", "local")]
+    assert out == [f"{k} [PHONE] ok"
+                   for k in ("intl", "area", "local", "nanp", "space", "e164")]
+
+
+def test_mask_name_unicode(spark):
+    """mask_name stars UNICODE letters (\\p{L}) — an ASCII-only class
+    would pass non-Latin names through the redact stage unmasked."""
+    from acxspark.functions.mask import mask_name
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Ольга",), ("Éric",), ("  Ana",), ("1234",)], "name string"
+    )
+    out = [r["m"] for r in df.select(mask_name(F.col("name")).alias("m")).collect()]
+    assert out == ["О****", "É***", "  A**", "1234"]

@@ -300,7 +300,7 @@ def main() -> None:
         big[cpus] = run_level(big_data, cpus)
         print(big[cpus], flush=True)
     small: dict[int, dict] = {}
-    for cpus in (8, 32):
+    for cpus in LADDER:  # full ladder: write_report's efficiency matrix needs 1/2/4/8/32
         print(f"small ladder: local[{cpus}] on {SMALL_DOCS} docs ...", flush=True)
         small[cpus] = run_level(small_data, cpus)
         print(small[cpus], flush=True)
