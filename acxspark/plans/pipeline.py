@@ -111,8 +111,12 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     # so a pathological 10^6-copy boilerplate page costs 10^6 edges not
     # 10^12. CC collapses the star to one cluster identically.
     hashed = docs.select("url", F.sha2(F.col(text_col), 256).alias("text_sha"))
+    # persisted: consumed by the exact-edge join AND the
+    # representatives semi-join below — without the cache the full
+    # corpus is sha2-hashed twice
     sha_min = hashed.groupBy("text_sha").agg(F.min("url").alias("min_url"),
-                                             F.count("*").alias("n"))
+                                             F.count("*").alias("n")).persist()
+    caches.append(sha_min)
     exact_edges = (
         hashed.join(sha_min.filter(F.col("n") > 1), "text_sha")
         .filter(F.col("url") != F.col("min_url"))
@@ -128,7 +132,21 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     # cache; without it the self-joins re-run the signature UDF per
     # side. The fused batch-vectorized UDF (operators/signatures.py)
     # replaces three separate per-row UDF scans.
-    sigs = with_signatures(docs, text_col=text_col, cfg=cfg, id_col="url").persist()
+    #
+    # Near-dup tiers run on EXACT-DUP REPRESENTATIVES only (min-url
+    # per content hash): byte-identical copies collide in all 32
+    # bands, so each exact cluster of size k would shuffle O(k²)
+    # fully-duplicated candidate rows through LSH/Jaccard/SimHash —
+    # work the exact tier's star edges already did. On real web
+    # crawls exact-dup mass is 30-50%, so this cuts signature compute
+    # AND candidate shuffle superlinearly. Recall is unaffected: if
+    # dup(A)=RA near-dups dup(B)=RB, edges A–RA, B–RB (exact) and
+    # RA–RB (near) put all four in one CC component.
+    reps = sha_min.select(F.col("min_url").alias("url"))
+    sigs = with_signatures(
+        docs.join(reps, "url", "left_semi"),
+        text_col=text_col, cfg=cfg, id_col="url",
+    ).persist()
     caches.append(sigs)
 
     # ---- minhash tier ------------------------------------------------
