@@ -85,12 +85,15 @@ def main() -> None:
         spark.catalog.clearCache()
     timings["dedup_pipeline"] = round(dedup_sec, 3)
 
+    from acxspark.operators.lsh import release_band_caches
+
     registry = Q.queries()
     for name in BENCH_QUERIES:
         t0 = time.time()
         # count() forces full execution without driver-side collect cost
         registry[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        release_band_caches()  # candidate-pair queries persist band rows
 
     total = round(sum(timings.values()), 3)
     out = {

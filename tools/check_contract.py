@@ -55,6 +55,9 @@ def main() -> int:
             print(f"FAIL  {name}: spark raised {exc}")
             continue
         el = time.time() - t0
+        from acxspark.operators.lsh import release_band_caches
+
+        release_band_caches()
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(got)} rows, {el:.1f}s)")
             continue
