@@ -37,13 +37,18 @@ def get_spark(
     parallelism: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    cluster: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a session with Arrow + AQE + skew handling on.
 
     parallelism: local core count (``local[N]``); defaults to
-    ``$SPARK_GRAFT_CPUS`` or ``*``. On a real cluster this becomes
-    executor/core sizing via spark-submit and the master URL is
-    whatever the cluster manager provides.
+    ``$SPARK_GRAFT_CPUS`` or ``*``.
+
+    ``cluster=True`` (the spark-submit ship path, tools/submit_dedup.py):
+    do NOT set master / driver memory / local dirs / GC flags — those
+    belong to spark-submit and the cluster manager. Only the
+    engine-semantic confs (AQE, Arrow, shuffle sizing, zstd, UTC) are
+    applied, and the package zip is still shipped to executors.
     """
     # glibc tuning for every forked Python worker (they inherit this
     # env): by default each large numpy temp is a fresh mmap — on this
@@ -70,10 +75,15 @@ def get_spark(
     n_shuffle = shuffle_partitions or (
         int(cpus) * 2 if str(cpus).isdigit() else 64
     )
+    b = SparkSession.builder.appName(app_name)
+    if not cluster:
+        b = b.master(master)
+    if not cluster or shuffle_partitions:
+        # cluster mode defers shuffle sizing to spark-submit conf /
+        # AQE unless the caller pins it explicitly
+        b = b.config("spark.sql.shuffle.partitions", str(n_shuffle))
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        b
         # AQE: runtime partition coalescing, skew-join splitting and
         # dynamic join strategy — the second line of defense behind our
         # explicit hot-band capping (operators/lsh.py).
@@ -89,31 +99,36 @@ def get_spark(
         # (reference src/zstd_wrap.cpp:16-41) but codec-level.
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
-        # shuffle/spill on tmpfs: the host disk is ~600 MB/s virtio;
-        # RAM-backed local dirs take it out of the shuffle path (the
-        # cluster equivalent: NVMe-backed spark.local.dir per executor)
-        .config(
-            "spark.local.dir",
-            "/dev/shm/spark-tmp" if os.path.isdir("/dev/shm") else "/tmp",
-        )
-        # 32 executor threads share one heap in local mode: size it so
-        # allocation-heavy stages don't become GC-bound (measured: the
-        # shingle scan anti-scaled at 8g). GC choice is ParallelGC —
-        # see the extraJavaOptions note below for the measurements.
-        .config("spark.driver.memory", os.environ.get("ACX_DRIVER_MEM", "16g"))
-        # AlwaysPreTouch: this host (microVM) serializes first-touch
-        # page faults globally — a 32-thread JVM allocating across a
-        # lazily-faulted heap measured 20x slower than 8 threads on the
-        # SAME work. Pre-faulting the heap once at startup moves that
-        # cost out of the allocation path entirely. ParallelGC, not G1:
-        # G1's region management re-touches memory continuously and
-        # measured 10-40x slower on allocation-heavy stages here
-        # (0.9s vs 37s on the identical token-hash scan).
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:+UseParallelGC -XX:+AlwaysPreTouch",
-        )
     )
+    if not cluster:
+        # LOCAL-ONLY host tuning — a cluster manager owns all of these.
+        b = (
+            b
+            # shuffle/spill on tmpfs: the host disk is ~600 MB/s virtio;
+            # RAM-backed local dirs take it out of the shuffle path (the
+            # cluster equivalent: NVMe spark.local.dir per executor)
+            .config(
+                "spark.local.dir",
+                "/dev/shm/spark-tmp" if os.path.isdir("/dev/shm") else "/tmp",
+            )
+            # 32 executor threads share one heap in local mode: size it
+            # so allocation-heavy stages don't become GC-bound
+            # (measured: the shingle scan anti-scaled at 8g). GC choice
+            # is ParallelGC — see the extraJavaOptions note below.
+            .config("spark.driver.memory", os.environ.get("ACX_DRIVER_MEM", "16g"))
+            # AlwaysPreTouch: this host (microVM) serializes first-touch
+            # page faults globally — a 32-thread JVM allocating across a
+            # lazily-faulted heap measured 20x slower than 8 threads on
+            # the SAME work. Pre-faulting the heap once at startup moves
+            # that cost out of the allocation path. ParallelGC, not G1:
+            # G1's region management re-touches memory continuously and
+            # measured 10-40x slower on allocation-heavy stages here
+            # (0.9s vs 37s on the identical token-hash scan).
+            .config(
+                "spark.driver.extraJavaOptions",
+                "-XX:+UseParallelGC -XX:+AlwaysPreTouch",
+            )
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -39,3 +39,33 @@ def test_extraction_invariant_on_corpus(spark):
         )
     )
     assert extraction_violations(bad).count() == 1
+
+
+def test_submit_job_wiring(spark, tmp_path, monkeypatch):
+    """tools/submit_dedup.py (the spark-submit ship path) end-to-end
+    in-process: writes clusters/survivors/edges + lineage under
+    --output. (The true spark-submit invocation is exercised manually:
+    spark-submit --master local[4] --driver-memory 8g --py-files
+    <package_zip()> tools/submit_dedup.py --input ... --output ...)"""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import submit_dedup
+
+    from acxspark.corpus import generate, to_spark
+
+    web, _, _ = to_spark(spark, generate(n_docs=120, seed=3))
+    inp = str(tmp_path / "web_in")
+    web.select("url", "text").write.parquet(inp)
+    out = str(tmp_path / "dedup_out")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["submit_dedup.py", "--input", inp, "--output", out],
+    )
+    submit_dedup.main()
+    clusters = spark.read.parquet(f"{out}/clusters")
+    survivors = spark.read.parquet(f"{out}/survivors")
+    assert clusters.count() == 120
+    assert 0 < survivors.count() <= 120
+    assert set(clusters.columns) == {"url", "cluster_id"}
