@@ -53,9 +53,13 @@ class DedupConfig:
     # space (64 bits / 4 tables) caps out at 65k distinct buckets per
     # table — at 10^12 docs the mean bucket is ~1.5e7 rows and the
     # self-join is O(bucket²). Buckets above this are dropped from
-    # pair generation (a doc in a capped bucket still meets its dups
-    # in the other 3 chunk tables AND the MinHash/LSH tier); hot
-    # sub-cap buckets take the salted self-join.
+    # pair generation. This is a recall/scale TRADEOFF, not free:
+    # pigeonhole only guarantees ONE matching chunk at d <= 3 with 4
+    # tables, so a pair whose sole clean chunk lands in a capped
+    # bucket is lost from the SimHash tier (the MinHash/LSH tier can
+    # still catch it, probabilistically). Rows dropped by the cap are
+    # observable via the simhash_band_rows_kept/-total lineage
+    # counters. Hot sub-cap buckets take the salted self-join.
     max_chunk_bucket: int = 1000
     # determinism
     seed: int = 42

@@ -79,11 +79,13 @@ def read_jsonl(
         # parsed records the re-serialized struct is a faithful proxy
         # for the line length. (Measuring only the struct was a bug:
         # corrupt rows serialize to '{}' and oversized malformed lines
-        # always passed.)
+        # always passed.) octet_length, not length: the reference caps
+        # raw BYTES, and multi-byte UTF-8 would otherwise pass at up to
+        # 4x the cap.
         df = df.filter(
             F.coalesce(
-                F.length("_corrupt_record"),
-                F.length(F.to_json(F.struct(*schema.fieldNames()))),
+                F.octet_length("_corrupt_record"),
+                F.octet_length(F.to_json(F.struct(*schema.fieldNames()))),
                 F.lit(0),
             )
             <= max_record_bytes

@@ -25,6 +25,14 @@ class Lineage:
         self.path = Path(path) if path else None
         self.fp = config_fingerprint
         self.observations: dict[str, Observation] = {}
+        self.records: list[dict] = []
+
+    def record(self, stage: str, **vals) -> None:
+        """Append an eagerly-computed scalar counter (for metrics that
+        can't ride an Observation — e.g. drop counts on a frame that
+        feeds multiple plan branches, where a CollectMetrics node would
+        double-count). Flushed alongside observations."""
+        self.records.append({"stage": stage, **vals})
 
     def observe(self, df: DataFrame, stage: str, **aggs) -> DataFrame:
         """Attach named metrics to a stage. Default: row count."""
@@ -38,8 +46,11 @@ class Lineage:
         return df.observe(obs, *[v.alias(k) for k, v in aggs.items()])
 
     def flush(self) -> list[dict]:
-        """Collect all fired observations and append to the log."""
+        """Collect all fired observations + eager records, append to the log."""
         out = []
+        for rec in self.records:
+            out.append({**rec, "config": self.fp, "ts": time.time()})
+        self.records = []
         for stage, obs in self.observations.items():
             try:
                 vals = obs.get

@@ -83,6 +83,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
         start_iter = catalog.latest_meta(table).get("iteration", 0)
 
     prev = None
+    converged = False
     for i in range(start_iter, max_iter):
         # lazy checkpoint + checksum = ONE driver-synchronized job per
         # round (the checksum action materializes the checkpoint):
@@ -92,8 +93,21 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
         if catalog is not None:
             catalog.write(table, e, meta={"iteration": i + 1, "checksum": list(cur)})
         if prev == cur:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # LOUD failure, never silent: max_iter rounds elapsed without a
+        # checksum fixpoint — emitting the labels anyway would let
+        # non-converged (possibly split) clusters flow downstream.
+        # O(log n) convergence makes this theoretical at max_iter=50,
+        # but a skew-pathological edge set deserves an error, not a
+        # wrong answer.
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} "
+            f"rounds (last checksum {prev}); raise max_iter or resume "
+            "from the committed snapshot"
+        )
 
     # converged star edges point node → root; roots label themselves
     labels = e.select(F.col("u"), F.col("v").alias("component"))

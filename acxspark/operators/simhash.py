@@ -106,7 +106,8 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
                             sim_col: str = "simhash",
                             cfg: DedupConfig = DEFAULT_CONFIG,
                             salted: bool = True,
-                            caches: list[DataFrame] | None = None) -> DataFrame:
+                            caches: list[DataFrame] | None = None,
+                            lineage=None) -> DataFrame:
     """Pairs within Hamming distance <= cfg.simhash_max_hamming.
 
     Exhaustive by pigeonhole (d < tables) UP TO the hot-bucket cap.
@@ -116,8 +117,13 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
        collision across distinct chunks only ADDS candidates, which
        the exact popcount filter removes, so correctness is unaffected;
     2. buckets with > ``cfg.max_chunk_bucket`` members are dropped
-       from pair generation (a doc there still meets its dups in the
-       other ``tables - 1`` chunk tables and in the MinHash/LSH tier);
+       from pair generation — a recall/scale TRADEOFF: pigeonhole only
+       guarantees ONE clean chunk at d < tables, so if that chunk is
+       the capped one, the pair is lost from this tier and only the
+       probabilistic MinHash/LSH tier can still catch it. Pass
+       ``lineage`` (a :class:`acxspark.metrics.Lineage`) to record
+       ``simhash_band_rows_total`` / ``simhash_band_rows_kept``
+       counters so the drop volume is observable, not assumed;
     3. hot sub-cap buckets (> cap/4) go through the salted self-join
        (:func:`acxspark.operators.lsh.salted_self_join_pairs` — output
        proven identical to the plain join), cold buckets join plain;
@@ -126,6 +132,13 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
 
     The pair-generation shuffle carries only (band_key, id) longs —
     fingerprints ride the final verification join, never the self-join.
+
+    NOT fully lazy: with ``salted=True`` this function runs Spark jobs
+    AT CALL TIME — it persists the exploded chunk rows and probes
+    ``hot_sizes.limit(1).count()`` to decide whether the salted arm is
+    worth planning — even if the returned DataFrame is never consumed.
+    Callers that only want the plan without jobs should pass
+    ``salted=False`` (plain equi-join, no probe, still capped).
     """
     from acxspark.operators.lsh import salted_self_join_pairs, track_cache
 
@@ -141,6 +154,29 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
     ).persist()
     track_cache(keyed, caches)
     sizes = keyed.groupBy("band_key").agg(F.count("*").alias("band_n"))
+    if lineage is not None:
+        # eager scalar counter over the tiny per-bucket agg (keyed is
+        # persisted; this also warms the cache the probes below read):
+        # rows the hot-bucket cap silently drops — the observable
+        # recall-loss signal the cap tradeoff demands. Not an
+        # Observation: keyed/kc feed multiple plan branches, where a
+        # CollectMetrics node would double-count or collide.
+        row = sizes.agg(
+            F.coalesce(F.sum("band_n"), F.lit(0)).alias("total"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("band_n") > cfg.max_chunk_bucket, F.col("band_n")
+                    )
+                ),
+                F.lit(0),
+            ).alias("dropped"),
+        ).collect()[0]
+        lineage.record(
+            "simhash_band_rows",
+            total=int(row["total"]),
+            dropped_by_cap=int(row["dropped"]),
+        )
     kc = keyed.join(
         F.broadcast(sizes.filter(F.col("band_n") > cfg.max_chunk_bucket)),
         "band_key", "left_anti",

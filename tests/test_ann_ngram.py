@@ -133,3 +133,97 @@ def test_ngram_max_doc_freq_cap(spark):
         docs, "doc_id", threshold=0.3, max_doc_freq=5
     ).count()
     assert uncapped > 0 and capped == 0
+
+
+@pytest.fixture(scope="module")
+def hot_vectors(spark):
+    """Corpus with one HOT LSH bucket: 24 tight copies of a single
+    vector (they land in the same bucket in EVERY table) plus planted
+    background twins and noise."""
+    rng = np.random.default_rng(11)
+    rows = []
+    base = rng.standard_normal(64)
+    base /= np.linalg.norm(base)
+    for i in range(24):  # the hot cluster
+        v = base + 0.02 * rng.standard_normal(64) / np.sqrt(64)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    vid = 100
+    bg_truth = []
+    for _ in range(10):  # background twins, far from the hot cluster
+        v = rng.standard_normal(64)
+        v /= np.linalg.norm(v)
+        w = v + 0.1 * rng.standard_normal(64) / np.sqrt(64)
+        w /= np.linalg.norm(w)
+        rows.append((vid, [float(x) for x in v]))
+        rows.append((vid + 1, [float(x) for x in w]))
+        bg_truth.append((vid, vid + 1))
+        vid += 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df.cache(), bg_truth
+
+
+def test_lsh_salted_equals_plain(hot_vectors):
+    """The adaptive salted self-join arm of the hyperplane-LSH path
+    must produce EXACTLY the plain join's output (same contract its
+    MinHash/SimHash siblings are tested under)."""
+    df, _ = hot_vectors
+    kw = dict(threshold=0.9, n_planes=6, n_tables=4, dim=64, seed=3,
+              max_bucket=200, salt_buckets=4)
+    plain = {(r["id_a"], r["id_b"], r["sim"])
+             for r in ann.lsh_near_dup_pairs(df, salted=False, **kw).collect()}
+    # hot cluster (24 rows) > hot_threshold max(200//4, 8) = 50? no —
+    # shrink the cap so the hot bucket crosses the salting threshold
+    kw["max_bucket"] = 60  # hot_threshold = max(15, 8) = 15 < 24
+    salted = {(r["id_a"], r["id_b"], r["sim"])
+              for r in ann.lsh_near_dup_pairs(df, salted=True, **kw).collect()}
+    plain_small_cap = {(r["id_a"], r["id_b"], r["sim"])
+                       for r in ann.lsh_near_dup_pairs(df, salted=False, **kw).collect()}
+    assert salted == plain_small_cap  # salting never changes output
+    assert salted == plain  # cap=60 never engages (hot bucket is 24)
+    assert len(salted) > 0
+
+
+def test_lsh_hot_bucket_cap_engages(hot_vectors):
+    """Buckets above max_bucket are dropped from pair generation: the
+    hot cluster's pairs disappear, background twins survive untouched
+    (they sit in cold buckets)."""
+    df, bg_truth = hot_vectors
+    kw = dict(threshold=0.9, n_planes=6, n_tables=4, dim=64, seed=3)
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in ann.lsh_near_dup_pairs(df, max_bucket=1000, **kw).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in ann.lsh_near_dup_pairs(df, max_bucket=10, **kw).collect()}
+    hot_pairs = {(a, b) for a in range(24) for b in range(24) if a < b}
+    assert capped <= uncapped
+    # every lost pair is a hot-cluster pair; background recall intact
+    assert (uncapped - capped) <= hot_pairs
+    assert (uncapped & set(bg_truth)) == (capped & set(bg_truth))
+    # the cap drops per-BUCKET, not per-cluster: members straddling a
+    # hyperplane land in small side-buckets and may still pair there —
+    # but the bulk of the hot cluster's O(n²) pairs must be gone
+    assert len(uncapped & hot_pairs) == 276  # 24C2: all found uncapped
+    assert len(capped & hot_pairs) < 30
+
+
+def test_lsh_auto_n_planes_sizing():
+    """n_planes scales with corpus so bucket population stays bounded:
+    log2(n/target), clamped to [4, 32]."""
+    assert ann.auto_n_planes(100) == 4
+    assert ann.auto_n_planes(500_000, target_bucket_rows=500) == 10
+    assert ann.auto_n_planes(10**9, target_bucket_rows=500) == 21
+    assert ann.auto_n_planes(10**12, target_bucket_rows=500) == 31
+    assert ann.auto_n_planes(10**14, target_bucket_rows=500) == 32  # clamped
+
+
+def test_lsh_auto_planes_path_recall(vectors):
+    """n_planes=None (auto-sized from a count job) keeps the
+    subset-of-exact property and finds pairs on a small corpus."""
+    df, _ = vectors
+    exact = {(r["id_a"], r["id_b"])
+             for r in ann.near_dup_pairs(df, threshold=0.9).collect()}
+    got = {(r["id_a"], r["id_b"])
+           for r in ann.lsh_near_dup_pairs(
+               df, threshold=0.9, n_planes=None, n_tables=8, dim=64, seed=1
+           ).collect()}
+    assert got <= exact and len(got) > 0

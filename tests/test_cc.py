@@ -53,3 +53,19 @@ def test_cc_checkpoint_resume(spark, tmp_path):
     got2 = {r["u"]: r["component"]
             for r in connected_components(edges, catalog=cat, table="t").collect()}
     assert got2 == got1
+
+
+def test_cc_nonconvergence_is_loud(spark):
+    """max_iter elapsing without a checksum fixpoint must RAISE, not
+    silently emit possibly-split labels (round-2 verdict finding #4).
+    A 3-node chain needs a 2nd round just to PROVE the fixpoint, so
+    max_iter=1 cannot certify convergence."""
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iter=1)
+    # with room to certify, the same edges converge fine
+    labels = {r["u"]: r["component"]
+              for r in connected_components(edges, max_iter=50).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1}

@@ -101,3 +101,20 @@ def test_jsonl_roundtrip_nested_history_tags(spark, tmp_path):
         ("2025-02-01T00:00:00Z", "alice", "edited"),
     ]
     assert got["2"]["history"] is None and got["2"]["tags"] is None
+
+
+def test_jsonl_byte_cap_counts_bytes_not_chars(spark, tmp_path):
+    """The record cap is on raw BYTES (reference storage.cpp:516): a
+    multi-byte UTF-8 line under the cap in characters but over it in
+    bytes must be dropped (ADVICE r2: octet_length, not length)."""
+    import json
+
+    p = tmp_path / "mb.jsonl"
+    fat = "é" * 3000  # 3000 chars, 6000 bytes
+    ok = {"id": "a", "name": "ok", "email": "a@b.c", "phone": "1"}
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(json.dumps(ok) + "\n")
+        f.write(json.dumps({"id": "b", "name": fat, "email": "x@y.z",
+                            "phone": "2"}, ensure_ascii=False) + "\n")
+    kept = IO.read_jsonl(spark, str(p), keep_corrupt=True, max_record_bytes=4096)
+    assert [r["id"] for r in kept.select("id").collect()] == ["a"]

@@ -127,3 +127,27 @@ def test_salted_pairs_equal_unsalted(spark):
     salted = {(r["id_a"], r["id_b"]) for r in
               candidate_pairs(sigs, "url", "minhash", cfg, salted=True).collect()}
     assert plain == salted and len(plain) > 0
+
+
+def test_simhash_cap_drop_counter_observable(spark):
+    """The hot-bucket cap's recall loss is a recorded lineage counter
+    (ADVICE r2: make drops observable, not assumed)."""
+    from acxspark.config import DedupConfig
+    from acxspark.metrics import Lineage
+    from acxspark.operators.signatures import with_signatures
+    from acxspark.operators.simhash import simhash_candidate_pairs
+
+    cfg = DedupConfig(max_chunk_bucket=3)
+    docs = spark.createDataFrame(
+        [(str(i), "the same boilerplate sentence repeated verbatim") for i in range(8)]
+        + [(str(100 + i), f"unique document number {i} about topic {i}") for i in range(3)],
+        "doc_id string, text string",
+    )
+    sigs = with_signatures(docs, text_col="text", cfg=cfg, id_col="doc_id")
+    lin = Lineage()
+    simhash_candidate_pairs(sigs, "doc_id", "simhash", cfg, lineage=lin).collect()
+    recs = {r["stage"]: r for r in lin.flush()}
+    r = recs["simhash_band_rows"]
+    # 8 identical docs share all 4 chunk buckets; cap=3 drops them all
+    assert r["dropped_by_cap"] >= 8 * 4
+    assert r["total"] > r["dropped_by_cap"]
