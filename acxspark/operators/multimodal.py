@@ -6,12 +6,16 @@ frame-sample run as Arrow-batched functions over ``mapInPandas`` so
 each executor touches only its partition of payload bytes — the bytes
 never shuffle, only extracted features do.
 
-The actual codec work is STUBBED (no image/audio libraries exist in
-this container): ``decode_stub=True`` (default) derives deterministic
-pseudo-features from the payload bytes (sha-seeded), so the Spark-side
-plumbing — schema, batch shape, partitioning, null handling — is real
-and tested, while the codec call sites are single, clearly-marked
-functions to swap for PIL/ffmpeg on a real cluster.
+Codec status (round 3): WAV (RIFF parse → sample rate/channels/
+duration) and PPM (P6 header + nearest-neighbor resize) are decoded
+FOR REAL, library-free — see :func:`decode_wav_meta`,
+:func:`decode_ppm_meta`, :func:`resize_ppm`. Formats that genuinely
+need PIL/soundfile/ffmpeg (jpeg, mp3, video containers) remain behind
+the single marked ``_real_decode`` swap point; ``decode_stub=True``
+(default for the feature/frame paths) derives deterministic
+pseudo-features from the payload bytes so the Spark-side plumbing —
+schema, batch shape, partitioning, null handling — is real and tested
+either way.
 
 Scale notes:
 - payloads are filtered/limited BEFORE the mapInPandas stage so the
@@ -52,12 +56,105 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def _real_decode(payload: bytes, kind: str):  # pragma: no cover - swap point
-    """THE codec call site. On a real cluster, replace with PIL /
-    soundfile / ffmpeg. This container has none of them."""
+def decode_wav_meta(payload: bytes) -> dict:
+    """REAL (library-free) RIFF/WAVE parse: sample rate, channels,
+    bit depth, frame count, duration. Pure function of the bytes —
+    deterministic across runs and parallelism levels.
+
+    RIFF layout (public spec): ``RIFF <u32 size> WAVE`` then chunks of
+    ``<4cc> <u32 size> <data>`` (word-aligned). We need ``fmt `` for
+    the format fields and ``data`` for the payload length.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = _struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if cid == b"fmt " and size >= 16:
+            fmt = _struct.unpack_from("<HHIIHH", payload, body)
+        elif cid == b"data":
+            data_size = min(size, len(payload) - body)  # tolerate truncation
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    _audio_format, channels, sample_rate, byte_rate, block_align, bits = fmt
+    if block_align == 0 or sample_rate == 0:
+        raise ValueError("WAVE fmt has zero block_align/sample_rate")
+    n_frames = data_size // block_align
+    return {
+        "mime": "audio/wav",
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bits_per_sample": bits,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // sample_rate,
+    }
+
+
+def _ppm_header(payload: bytes) -> tuple[dict, int]:
+    """Parse a P6 header → (meta, pixel_offset). Whitespace/comment
+    handling per the netpbm spec: exactly one whitespace char follows
+    the maxval token before the pixel block."""
+    if len(payload) < 2 or payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens, pos = [], 2
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos:pos + 1]
+        if c == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos:pos + 1].isspace():
+                pos += 1
+            tokens.append(payload[start:pos])
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
+    width, height, _maxval = (int(t) for t in tokens)
+    return {"mime": "image/ppm", "width": width, "height": height}, pos + 1
+
+
+def decode_ppm_meta(payload: bytes) -> dict:
+    """REAL (library-free) binary-PPM (P6) header parse → width/height."""
+    return _ppm_header(payload)[0]
+
+
+def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize of a binary PPM — numpy index map
+    over the (h, w, 3) pixel block, re-emitted as a minimal P6. Pure
+    function of (bytes, dims): byte-identical across runs/partitions."""
+    import numpy as np
+
+    meta, pixel_offset = _ppm_header(payload)
+    w0, h0 = meta["width"], meta["height"]
+    if len(payload) - pixel_offset < w0 * h0 * 3:
+        raise ValueError("truncated PPM pixel block")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w0 * h0 * 3,
+                       offset=pixel_offset).reshape(h0, w0, 3)
+    ri = (np.arange(height) * h0) // height
+    ci = (np.arange(width) * w0) // width
+    out = px[ri][:, ci]
+    return f"P6\n{width} {height}\n255\n".encode() + out.tobytes()
+
+
+def _real_decode(payload: bytes, kind: str):
+    """THE codec call site. WAV (audio) and PPM (image) are decoded
+    for real, library-free; container formats that genuinely need
+    PIL / soundfile / ffmpeg (jpeg, mp3, video) raise — swap this
+    function on a real cluster. The swap point stays a single marked
+    function either way."""
+    if kind == "audio":
+        return decode_wav_meta(payload)
+    if kind == "image":
+        return decode_ppm_meta(payload)
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use decode_stub=True (deterministic fake) or swap _real_decode"
+        f"media codec for kind={kind!r} is not available in this "
+        "environment; use decode_stub=True (deterministic fake) or "
+        "swap _real_decode"
     )
 
 
@@ -92,6 +189,64 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload",
             F.lit(None).cast("long").alias("duration_ms"),
         ),
     )
+
+
+def decode_media_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    kind_col: str = "kind",
+    max_payload_bytes: int = 64 << 20,
+) -> DataFrame:
+    """(id, kind, mime, width, height, duration_ms, n_bytes) via a REAL
+    decode over mapInPandas — WAV and PPM parsed from bytes, no stub.
+
+    Rows whose payload is not decodable (unsupported kind, corrupt
+    bytes) get NULL codec fields and an ``decode_error`` string instead
+    of failing the job — at 10^12 docs a poison payload must not kill
+    the stage (reference corrupt-line passthrough semantics,
+    src/cli.cpp:303-304, at media granularity). Oversized payloads are
+    dropped JVM-side before Arrow ever sees them.
+    """
+    slim = df.select(F.col(id_col), F.col(kind_col), F.col(payload_col)).filter(
+        F.length(F.col(payload_col)) <= max_payload_bytes
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField(kind_col, T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("decode_error", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for b in batches:
+            rows = {k: [] for k in ("mime", "width", "height",
+                                    "duration_ms", "n_bytes", "decode_error")}
+            for kind, p in zip(b[kind_col], b[payload_col]):
+                meta, err = None, None
+                if p is None:
+                    err = "null payload"
+                else:
+                    try:
+                        meta = _real_decode(bytes(p), kind)
+                    except (NotImplementedError, ValueError) as e:
+                        err = str(e)
+                meta = meta or {}
+                rows["mime"].append(meta.get("mime"))
+                rows["width"].append(meta.get("width"))
+                rows["height"].append(meta.get("height"))
+                rows["duration_ms"].append(meta.get("duration_ms"))
+                rows["n_bytes"].append(None if p is None else len(p))
+                rows["decode_error"].append(err)
+            yield pd.DataFrame({id_col: b[id_col], kind_col: b[kind_col], **rows})
+
+    return slim.mapInPandas(gen, schema=out_schema)
 
 
 def extract_features(
@@ -149,6 +304,14 @@ def resize_images(
         ]
     )
 
+    def _real_resize(p):
+        if p is None:
+            return None
+        try:
+            return resize_ppm(bytes(p), width, height)
+        except ValueError:
+            return None  # poison payload → NULL, never a dead stage
+
     def gen(batches):
         for b in batches:
             if decode_stub:
@@ -158,8 +321,8 @@ def resize_images(
                     else hashlib.sha256(p).digest() + bytes(p[: width * height // 64])
                     for p in b[payload_col]
                 ]
-            else:  # pragma: no cover
-                payloads = [_real_decode(p, "image") for p in b[payload_col]]
+            else:
+                payloads = [_real_resize(p) for p in b[payload_col]]
             yield pd.DataFrame(
                 {
                     id_col: b[id_col],

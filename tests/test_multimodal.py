@@ -65,6 +65,97 @@ def test_sample_frames_explodes(media):
     assert all(len(r["frame"]) == 32 for r in rows)  # sha256 stub frames
 
 
-def test_real_decode_is_a_marked_stub():
+def test_real_decode_swap_point_still_marked_for_video():
+    """Formats that genuinely need external libs (video containers)
+    keep the single marked NotImplementedError swap point; corrupt
+    bytes for supported kinds raise ValueError, not silence."""
     with pytest.raises(NotImplementedError):
-        MM._real_decode(b"x", "image")
+        MM._real_decode(b"x", "video")
+    with pytest.raises(ValueError):
+        MM._real_decode(b"x", "image")  # not a PPM
+    with pytest.raises(ValueError):
+        MM._real_decode(b"x", "audio")  # not a WAV
+
+
+def _wav_bytes(sample_rate=8000, channels=1, bits=16, n_frames=4000) -> bytes:
+    """A real 16-bit PCM WAV file, built from the RIFF spec by hand."""
+    import struct
+
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data = bytes(n_frames * block_align)  # silence
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      block_align, bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _ppm_bytes(width=3, height=2) -> bytes:
+    header = f"P6\n# a comment\n{width} {height}\n255\n".encode()
+    return header + bytes(width * height * 3)
+
+
+def test_decode_wav_meta_real_bytes():
+    """The graduated codec: a hand-built PCM WAV parses byte-for-byte
+    deterministically — 0.5 s at 8 kHz mono 16-bit."""
+    meta = MM.decode_wav_meta(_wav_bytes(sample_rate=8000, n_frames=4000))
+    assert meta == {"mime": "audio/wav", "channels": 1, "sample_rate": 8000,
+                    "bits_per_sample": 16, "n_frames": 4000,
+                    "duration_ms": 500}
+    stereo = MM.decode_wav_meta(
+        _wav_bytes(sample_rate=44100, channels=2, n_frames=44100)
+    )
+    assert stereo["channels"] == 2 and stereo["duration_ms"] == 1000
+    # determinism: same bytes, same result
+    assert MM.decode_wav_meta(_wav_bytes()) == MM.decode_wav_meta(_wav_bytes())
+
+
+def test_decode_ppm_meta_real_bytes():
+    assert MM.decode_ppm_meta(_ppm_bytes(640, 480)) == {
+        "mime": "image/ppm", "width": 640, "height": 480
+    }
+
+
+def test_decode_media_meta_end_to_end(spark):
+    """REAL decode through the Spark mapInPandas plumbing: WAV and PPM
+    rows get codec fields, a video row gets NULLs + decode_error
+    (poison payloads must not kill the stage)."""
+    rows = [
+        ("a", "audio", _wav_bytes(sample_rate=16000, n_frames=8000)),
+        ("i", "image", _ppm_bytes(32, 16)),
+        ("v", "video", b"\x00\x01\x02"),
+        ("c", "audio", b"not a wav"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, kind string, payload binary")
+    out = {r["media_id"]: r for r in MM.decode_media_meta(df).collect()}
+    assert out["a"]["mime"] == "audio/wav" and out["a"]["duration_ms"] == 500
+    assert out["i"]["width"] == 32 and out["i"]["height"] == 16
+    assert out["v"]["mime"] is None and "video" in out["v"]["decode_error"]
+    assert out["c"]["mime"] is None and out["c"]["decode_error"]
+    assert all(out[k]["n_bytes"] == len(p) for k, _, p in rows)
+
+
+def test_resize_ppm_real_and_through_spark(spark):
+    """REAL nearest-neighbor PPM resize: downsample a 4x4 gradient to
+    2x2 and check exact pixel selection; then the same through the
+    resize_images(decode_stub=False) Spark path."""
+    import numpy as np
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    src = b"P6\n4 4\n255\n" + px.tobytes()
+    out = MM.resize_ppm(src, 2, 2)
+    meta = MM.decode_ppm_meta(out)
+    assert (meta["width"], meta["height"]) == (2, 2)
+    got = np.frombuffer(out[out.index(b"255\n") + 4:], dtype=np.uint8).reshape(2, 2, 3)
+    # nearest-neighbor with ri=[0,2], ci=[0,2]
+    assert (got == px[[0, 2]][:, [0, 2]]).all()
+
+    df = spark.createDataFrame(
+        [("ok", src), ("bad", b"P6 garbage")],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in
+            MM.resize_images(df, width=2, height=2, decode_stub=False).collect()}
+    assert bytes(rows["ok"]["payload"]) == out
+    assert rows["bad"]["payload"] is None  # poison → NULL, stage survives
