@@ -61,6 +61,15 @@ class DedupConfig:
     # observable via the simhash_band_rows_kept/-total lineage
     # counters. Hot sub-cap buckets take the salted self-join.
     max_chunk_bucket: int = 1000
+    # shingle-level doc-frequency cut (the ngram tier's max_doc_freq
+    # generalized to the MinHash/SimHash tiers): shingles present in
+    # more than this FRACTION of documents are dropped before
+    # signature computation, so boilerplate grams stop colliding
+    # whole crawl segments into the same LSH bands — the structural
+    # fix for the mid-size quadratic candidate ramp (docs/SCALE.md).
+    # None = off (the frozen oracle-parity default). Enabling it makes
+    # with_signatures EAGER (one count job + one gram-frequency agg).
+    shingle_max_doc_freq: float | None = None
     # determinism
     seed: int = 42
     # large-scale guards (reference 1 MiB record cap, storage.cpp:516)

@@ -56,6 +56,20 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def encode_wav_pcm16(sample_rate: int, n_frames: int, channels: int = 1) -> bytes:
+    """Minimal PCM-16 WAV encoder (silence payload) — the encode twin
+    of :func:`decode_wav_meta`. Total size = 44 + n_frames*2*channels
+    bytes; used by the ``media_wav_decode`` oracle query to roundtrip
+    REAL bytes against a closed-form arithmetic twin in DuckDB."""
+    block_align = channels * 2
+    data = bytes(n_frames * block_align)
+    fmt = _struct.pack("<HHIIHH", 1, channels, sample_rate,
+                       sample_rate * block_align, block_align, 16)
+    body = (b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data)
+    return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
 def decode_wav_meta(payload: bytes) -> dict:
     """REAL (library-free) RIFF/WAVE parse: sample rate, channels,
     bit depth, frame count, duration. Pure function of the bytes —

@@ -274,14 +274,37 @@ def _simhash_flat(shingles: np.ndarray, n_sh: np.ndarray) -> np.ndarray:
     return out
 
 
+def _df_cut(shingles: np.ndarray, n_sh: np.ndarray,
+            drop: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Remove shingles in the sorted ``drop`` array (hot grams above
+    the doc-frequency cut) from the flat multiset, recomputing per-row
+    counts. One vectorized np.isin (binary search against the sorted
+    drop set) per batch — no per-row Python."""
+    if len(shingles) == 0 or len(drop) == 0:
+        return shingles, n_sh
+    keep = ~np.isin(shingles.view(np.int64), drop)
+    n_new = np.zeros(len(n_sh), dtype=np.int64)
+    nz = n_sh > 0
+    if nz.any():
+        ends = np.cumsum(n_sh)
+        starts = (ends - n_sh)[nz]
+        n_new[nz] = np.add.reduceat(keep.astype(np.int64), starts)
+    return np.ascontiguousarray(shingles[keep]), n_new
+
+
 def compute_signatures(tok_hashes: pd.Series, k: int, num_perm: int,
-                       seed: int, minhash_mode: str = "kperm") -> pd.DataFrame:
+                       seed: int, minhash_mode: str = "kperm",
+                       drop: np.ndarray | None = None) -> pd.DataFrame:
     """Batch core (pure function, unit-testable without Spark).
 
     minhash_mode: 'kperm' (classical, compute-bound — default) or
-    'oph' (one-permutation + densification, bandwidth-light)."""
+    'oph' (one-permutation + densification, bandwidth-light).
+    ``drop``: optional sorted int64 array of shingle hashes to remove
+    before signature computation (the doc-frequency cut)."""
     flat, lens = _flatten(tok_hashes)
     shingles, n_sh = _window_poly(flat, lens, k)
+    if drop is not None:
+        shingles, n_sh = _df_cut(shingles, n_sh, drop)
     fn = _minhash_kperm_flat if minhash_mode == "kperm" else _minhash_oph_flat
     mh = fn(shingles, n_sh, num_perm, seed)
     sh = _simhash_flat(shingles, n_sh)
@@ -292,19 +315,34 @@ def compute_signatures(tok_hashes: pd.Series, k: int, num_perm: int,
     return pd.DataFrame({"shingles": sh_lists, "minhash": list(mh), "simhash": sh})
 
 
+_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("shingles", T.ArrayType(T.LongType())),
+        T.StructField("minhash", T.ArrayType(T.LongType())),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
 @lru_cache(maxsize=8)
 def _make_sig_udf(k: int, num_perm: int, seed: int, minhash_mode: str):
-    schema = T.StructType(
-        [
-            T.StructField("shingles", T.ArrayType(T.LongType())),
-            T.StructField("minhash", T.ArrayType(T.LongType())),
-            T.StructField("simhash", T.LongType()),
-        ]
-    )
-
-    @pandas_udf(schema)
+    @pandas_udf(_SIG_SCHEMA)
     def _sig(tok: pd.Series) -> pd.DataFrame:
         return compute_signatures(tok, k, num_perm, seed, minhash_mode)
+
+    return _sig
+
+
+def _make_sig_udf_dfcut(k: int, num_perm: int, seed: int,
+                        minhash_mode: str, drop_bc):
+    """Uncached variant closing over a broadcast of the hot-gram drop
+    set (broadcast identity varies per call — lru_cache would pin a
+    stale one)."""
+
+    @pandas_udf(_SIG_SCHEMA)
+    def _sig(tok: pd.Series) -> pd.DataFrame:
+        return compute_signatures(tok, k, num_perm, seed, minhash_mode,
+                                  drop=drop_bc.value)
 
     return _sig
 
@@ -316,14 +354,62 @@ def signature_col(text_col, cfg: DedupConfig = DEFAULT_CONFIG) -> Column:
     )
 
 
+def hot_shingle_hashes(df: DataFrame, text_col: str,
+                       cfg: DedupConfig) -> np.ndarray:
+    """Sorted int64 array of shingle hashes present in more than
+    ``cfg.shingle_max_doc_freq`` fraction of documents.
+
+    One distinct-grams-per-doc explode + count aggregation (map-side
+    partial combine; the shuffle carries (gram, count) longs only).
+    The hot set is tiny by construction — at most
+    distinct_grams_per_doc / fraction entries (Zipf head), e.g. ~50k
+    at 500 grams/doc and f=0.01 — so it broadcasts. At extreme scale
+    the same threshold can be estimated from a corpus sample; exact
+    counting is used here because it is also the oracle-checkable
+    form (ngram.py max_doc_freq does the identical cut SQL-side)."""
+    from acxspark.operators.shingle import shingle_hashes
+
+    n_docs = df.count()
+    threshold = int(cfg.shingle_max_doc_freq * n_docs)
+    ex = df.select(
+        F.explode(
+            F.array_distinct(
+                shingle_hashes(F.col(text_col), cfg.shingle_k, cfg.seed)
+            )
+        ).alias("g")
+    )
+    hot = (
+        ex.groupBy("g").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > threshold)
+        .collect()
+    )
+    return np.sort(np.array([r["g"] for r in hot], dtype=np.int64))
+
+
 def with_signatures(df: DataFrame, text_col: str = "text",
                     cfg: DedupConfig = DEFAULT_CONFIG,
                     id_col: str = "url") -> DataFrame:
     """(id, shingles, minhash, simhash) — the one signature scan the
-    whole pipeline shares."""
-    return df.select(
-        F.col(id_col), signature_col(F.col(text_col), cfg).alias("_sig")
-    ).select(
+    whole pipeline shares.
+
+    With ``cfg.shingle_max_doc_freq`` set this becomes EAGER (one
+    count job + one gram-frequency aggregation at call time) and every
+    downstream tier — LSH bands, exact-Jaccard verify, SimHash — runs
+    on the doc-frequency-cut shingle multiset, which is the point:
+    boilerplate grams stop synchronizing MinHash minima across
+    unrelated documents, so band buckets stop growing linearly with
+    corpus size (the mid-size quadratic candidate ramp)."""
+    mdf = getattr(cfg, "shingle_max_doc_freq", None)
+    if mdf is None:
+        sig = signature_col(F.col(text_col), cfg)
+    else:
+        drop = hot_shingle_hashes(df, text_col, cfg)
+        drop_bc = df.sparkSession.sparkContext.broadcast(drop)
+        mode = getattr(cfg, "minhash_mode", "kperm")
+        sig = _make_sig_udf_dfcut(
+            cfg.shingle_k, cfg.num_perm, cfg.seed, mode, drop_bc
+        )(token_hashes(F.col(text_col), cfg.seed))
+    return df.select(F.col(id_col), sig.alias("_sig")).select(
         id_col,
         F.col("_sig.shingles").alias("shingles"),
         F.col("_sig.minhash").alias("minhash"),

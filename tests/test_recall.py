@@ -111,3 +111,66 @@ def test_deterministic_clusters_across_runs(spark, corpus):
     c1 = sorted(map(tuple, r1.clusters.collect()))
     c2 = sorted(map(tuple, r2.clusters.collect()))
     assert c1 == c2
+
+
+def test_dfcut_noop_threshold_identical_signatures(spark, corpus):
+    """shingle_max_doc_freq=1.0 (no gram exceeds 100% of docs) must
+    reproduce the default path's signatures EXACTLY — proves the
+    df-cut kernel branch and the shingle.py gram column agree with the
+    fused kernel."""
+    from acxspark.config import DedupConfig
+    from acxspark.operators.signatures import with_signatures
+
+    web, _, _ = to_spark(spark, corpus)
+    docs = web.select("url", F.col("text")).limit(150)
+    base = with_signatures(docs, text_col="text", cfg=DedupConfig(),
+                           id_col="url").collect()
+    cut = with_signatures(docs, text_col="text",
+                          cfg=DedupConfig(shingle_max_doc_freq=1.0),
+                          id_col="url").collect()
+    b = {r["url"]: (r["shingles"], r["minhash"], r["simhash"]) for r in base}
+    c = {r["url"]: (r["shingles"], r["minhash"], r["simhash"]) for r in cut}
+    assert b == c
+
+
+def test_dfcut_recall_gate_holds(spark, corpus):
+    """With the doc-frequency cut ON (drop grams in >20% of docs —
+    aggressive), planted dup-pair recall must still clear the 0.99
+    gate: boilerplate grams carry no dup signal, informative grams do."""
+    web, tp, _ = to_spark(spark, corpus)
+    from acxspark.config import DedupConfig
+
+    cfg = DedupConfig(shingle_max_doc_freq=0.2)
+    res = run_pipeline(web.repartition(8), cfg=cfg)
+    clusters = {r["url"]: r["cluster_id"] for r in res.clusters.collect()}
+    pairs = list(zip(corpus.truth_pairs.url_a, corpus.truth_pairs.url_b))
+    hit = sum(clusters[a] == clusters[b] for a, b in pairs)
+    recall = hit / len(pairs)
+    res.release()
+    assert recall >= 0.99, f"df-cut recall {recall}"
+
+
+def test_dfcut_drops_hot_grams_and_shrinks_candidates(spark):
+    """Grams above the cut disappear from the shingle arrays, and the
+    LSH candidate count on a boilerplate-heavy corpus drops."""
+    from acxspark.config import DedupConfig
+    from acxspark.operators.lsh import candidate_pairs
+    from acxspark.operators.signatures import hot_shingle_hashes, with_signatures
+
+    boiler = ("all rights reserved copyright terms of service privacy "
+              "policy contact us about careers press blog help center ")
+    rows = [(f"u{i}", boiler * 3 + f"unique content {i} alpha{i} beta{i} "
+             f"gamma{i} delta{i} epsilon{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    cfg = DedupConfig(shingle_max_doc_freq=0.5)
+    hot = hot_shingle_hashes(docs, "text", cfg)
+    assert len(hot) > 0  # boilerplate grams are hot
+    cut_sigs = with_signatures(docs, text_col="text", cfg=cfg, id_col="url")
+    hot_set = set(int(h) for h in hot)
+    for r in cut_sigs.collect():
+        assert not (set(r["shingles"]) & hot_set)
+    base_sigs = with_signatures(docs, text_col="text", cfg=DedupConfig(),
+                                id_col="url")
+    n_base = candidate_pairs(base_sigs, "url", "minhash", DedupConfig()).count()
+    n_cut = candidate_pairs(cut_sigs, "url", "minhash", cfg).count()
+    assert n_cut < n_base, (n_cut, n_base)

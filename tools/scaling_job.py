@@ -29,6 +29,12 @@ from acxspark.session import get_spark  # noqa: E402
 def main() -> None:
     data = sys.argv[1]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # SPARK_GRAFT_DFCUT=<fraction> enables the shingle doc-frequency
+    # cut (config.shingle_max_doc_freq) for ramp-flattening A/B runs
+    dfcut = os.environ.get("SPARK_GRAFT_DFCUT")
+    cfg = DedupConfig(
+        shingle_max_doc_freq=float(dfcut) if dfcut else None
+    )
     spark = get_spark("scaling-job", parallelism=cpus)
     docs = spark.read.parquet(data).select("url", "text")
     n_docs = docs.count()  # warm: session + file listing out of the timer
@@ -41,7 +47,7 @@ def main() -> None:
     n_survivors = 0
     for _ in range(2):
         t0 = time.time()
-        res = run_pipeline(docs, cfg=DedupConfig(), text_col="text")
+        res = run_pipeline(docs, cfg=cfg, text_col="text")
         n_survivors = res.survivors.count()
         wall = min(wall, time.time() - t0)
         for (_, df) in list(vars(res).items()):
