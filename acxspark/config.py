@@ -70,6 +70,16 @@ class DedupConfig:
     # None = off (the frozen oracle-parity default). Enabling it makes
     # with_signatures EAGER (one count job + one gram-frequency agg).
     shingle_max_doc_freq: float | None = None
+    # doc-frequency ESTIMATION sample: count gram frequencies on the
+    # 1/df_sample_mod fraction of docs whose xxhash64(text) ≡ 0
+    # (mod df_sample_mod). Content-keyed, so the sample — and hence
+    # the hot set, the signatures, and the survivors — is identical
+    # at every parallelism level (a row-position sample would break
+    # the determinism invariant). A gram at the f threshold appears
+    # f·n/mod times in the sample; with f=0.01 and mod=10 that is
+    # thousands of occurrences at any realistic corpus size, so the
+    # estimate is tight while the agg pass shrinks ~mod×. 1 = exact.
+    df_sample_mod: int = 1
     # determinism
     seed: int = 42
     # large-scale guards (reference 1 MiB record cap, storage.cpp:516)

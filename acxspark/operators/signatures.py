@@ -369,6 +369,14 @@ def hot_shingle_hashes(df: DataFrame, text_col: str,
     form (ngram.py max_doc_freq does the identical cut SQL-side)."""
     from acxspark.operators.shingle import shingle_hashes
 
+    mod = getattr(cfg, "df_sample_mod", 1)
+    if mod > 1:
+        # deterministic content-keyed sample (see config.df_sample_mod):
+        # identical at every parallelism level, unlike F.sample
+        df = df.filter(
+            F.pmod(F.xxhash64(F.col(text_col), F.lit(cfg.seed)), F.lit(mod))
+            == 0
+        )
     n_docs = df.count()
     threshold = int(cfg.shingle_max_doc_freq * n_docs)
     ex = df.select(

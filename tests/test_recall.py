@@ -174,3 +174,28 @@ def test_dfcut_drops_hot_grams_and_shrinks_candidates(spark):
     n_base = candidate_pairs(base_sigs, "url", "minhash", DedupConfig()).count()
     n_cut = candidate_pairs(cut_sigs, "url", "minhash", cfg).count()
     assert n_cut < n_base, (n_cut, n_base)
+
+
+def test_dfcut_sampled_estimation_finds_hot_grams(spark):
+    """df_sample_mod>1 estimates gram doc-frequency on a deterministic
+    content-keyed sample: hot boilerplate grams are still found, and
+    the sample is partition-independent (same hot set at 1 vs 8
+    partitions)."""
+    from acxspark.config import DedupConfig
+    from acxspark.operators.signatures import hot_shingle_hashes
+
+    boiler = ("all rights reserved copyright terms of service privacy "
+              "policy contact us about careers press blog help center ")
+    rows = [(f"u{i}", boiler * 2 + f"unique tail {i} alpha{i} beta{i}")
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    cfg = DedupConfig(shingle_max_doc_freq=0.5, df_sample_mod=3)
+    hot_1p = hot_shingle_hashes(docs.coalesce(1), "text", cfg)
+    hot_8p = hot_shingle_hashes(docs.repartition(8), "text", cfg)
+    assert len(hot_1p) > 0
+    assert list(hot_1p) == list(hot_8p)  # content-keyed ⇒ layout-proof
+    exact = hot_shingle_hashes(docs, "text",
+                               DedupConfig(shingle_max_doc_freq=0.5))
+    # boilerplate grams sit at df=1.0 — any sane sample finds them all
+    assert set(exact) <= set(hot_1p) | set(exact)
+    assert set(hot_1p) == set(exact)
