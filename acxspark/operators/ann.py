@@ -183,6 +183,204 @@ def near_dup_pairs_blocked(
     return corpus.select(id_col).mapInPandas(block, schema=out_schema)
 
 
+# ------------------------------------------------------- IVF scale path
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic Lloyd k-means coarse quantizer → (k, dim) float64.
+
+    The graft brief's IVF variant (brute-force baseline / IVF or LSH
+    scale path). Engineering for 10^12 rows:
+
+    - init = the k rows with smallest xxhash64(id, seed) — a
+      content-keyed deterministic draw, identical at every
+      parallelism level (F.sample is partition-dependent; TABLESAMPLE
+      is not seed-stable across layouts);
+    - each Lloyd round is ONE map-only pass (assignment against the
+      broadcast centroid matrix, numpy argmax over an Arrow batch,
+      no shuffle of vectors) + ONE groupBy(cluster, dim) partial-agg
+      of per-dimension sums — shuffle volume k×dim doubles, not rows;
+    - fixed n_iter (no convergence probe) keeps the round count — and
+      therefore the centroids — deterministic.
+
+    Centroids are L2-normalized so assignment maximizes cosine.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    slim = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    init = (
+        slim.orderBy(F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id"))
+        .limit(n_centroids)
+        .toPandas()
+    )
+    cents = np.stack(init["_v"].to_numpy()).astype(np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("c", T.IntegerType()),
+            T.StructField("_v", corpus.schema[vec_col].dataType),
+        ]
+    )
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def assign(batches):
+            cmat = bc.value
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                m = np.stack(b["_v"].to_numpy()).astype(np.float64)
+                mn = m / np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+                )
+                yield pd.DataFrame(
+                    {"c": np.argmax(mn @ cmat.T, axis=1).astype(np.int32),
+                     "_v": b["_v"]}
+                )
+
+        assigned = slim.select("_v").mapInPandas(assign, schema=assign_schema)
+        # per-dimension mean via posexplode + two-level agg: the
+        # shuffle carries (cluster, dim, partial-sum) rows only
+        sums = (
+            assigned.select("c", F.posexplode("_v").alias("d", "x"))
+            .groupBy("c", "d")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"),
+                 F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        by_c: dict[int, list] = {}
+        for r in sums:
+            by_c.setdefault(r["c"], []).append(r)
+        for c, rows in by_c.items():
+            v = np.zeros(cents.shape[1])
+            for r in rows:
+                v[r["d"]] = r["s"] / r["n"]
+            nrm = np.linalg.norm(v)
+            if nrm > 1e-12:
+                new[c] = v / nrm
+        cents = new  # empty clusters keep their previous centroid
+        bc.destroy()
+    return cents
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Attach the nearest-centroid id — map-only, vectors never move.
+    At scale this column becomes the table's partition/bucket key so a
+    probe reads only its clusters' files (partition pruning)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField(vec_col, corpus.schema[vec_col].dataType),
+            T.StructField(out_col, T.IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        cmat = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            m = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    vec_col: b[vec_col],
+                    out_col: np.argmax(mn @ cmat.T, axis=1).astype(np.int32),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    sim_decimals: int = 4,
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, sim) — IVF-pruned cosine top-k.
+
+    Each query probes its ``n_probe`` nearest centroids (driver-side
+    numpy on the SMALL query set); the corpus side is filtered to the
+    probed clusters BEFORE scoring, so the scan shrinks ~n_probe/k_c.
+    With ``n_probe == len(centroids)`` the search is EXACT (equals
+    :func:`brute_force_topk` — the oracle anchor); smaller n_probe
+    trades recall for scan fraction, gated in pytest.
+    """
+    qpd = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).toPandas()
+    qmat = np.stack(qpd["_qv"].to_numpy()).astype(np.float64)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    n_probe = min(n_probe, len(centroids))
+    probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+
+    spark = corpus.sparkSession
+    # exploded (query, probed-cell) pairs → the probe join is an
+    # EQUI-join on ivf_cluster (broadcast hash join), not the
+    # nested-loop an array_contains condition would plan; and the
+    # union of probed cells prunes the corpus scan up front (at scale,
+    # with the table partitioned by ivf_cluster, this is partition
+    # pruning — unprobed cells cost zero IO)
+    probe_rows = [
+        (int(qid), int(c)) for qid, cs in zip(qpd["query_id"], probes)
+        for c in cs
+    ]
+    probe_df = spark.createDataFrame(
+        probe_rows,
+        f"query_id {corpus.schema[id_col].dataType.simpleString()}, ivf_cluster int",
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+        .join(probe_df, "query_id")
+    )
+    probed_cells = sorted({c for _, c in probe_rows})
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).filter(
+        F.col("ivf_cluster").isin(probed_cells)
+    )
+    scored = (
+        assigned.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q), "ivf_cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("_qv"), F.col(vec_col)), sim_decimals))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
 # ------------------------------------------------------- LSH scale path
 
 

@@ -227,3 +227,39 @@ def test_lsh_auto_planes_path_recall(vectors):
                df, threshold=0.9, n_planes=None, n_tables=8, dim=64, seed=1
            ).collect()}
     assert got <= exact and len(got) > 0
+
+
+def test_ivf_probe_all_equals_brute_force(vectors):
+    """IVF with n_probe == n_centroids is EXACT: identical to the
+    brute-force top-k (the oracle anchor for the approximate path)."""
+    df, _ = vectors
+    cents = ann.ivf_train_centroids(df, n_centroids=8, n_iter=3, seed=5)
+    assert cents.shape == (8, 64)
+    queries = df.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+             for r in ann.brute_force_topk(df, queries, k=3).collect()}
+    ivf_all = {(r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+               for r in ann.ivf_topk(df, queries, cents, k=3,
+                                     n_probe=8).collect()}
+    assert ivf_all == exact
+
+
+def test_ivf_partial_probe_recall_and_pruning(vectors):
+    """n_probe < n_centroids prunes the scanned corpus but must keep
+    high top-1 recall (twins are near-identical, so query and twin
+    land in the same coarse cell virtually always)."""
+    df, truth = vectors
+    cents = ann.ivf_train_centroids(df, n_centroids=8, n_iter=3, seed=5)
+    queries = df.filter(F.col("vec_id") < 20)
+    got = {r["query_id"]: r["neighbor_id"]
+           for r in ann.ivf_topk(df, queries, cents, k=1, n_probe=2).collect()}
+    hits = sum(1 for a, b in truth[:10] if got.get(a) == b and got.get(b) == a)
+    assert hits >= 9  # >= 0.9 pairwise top-1 recall at 2/8 probes
+
+
+def test_ivf_centroids_deterministic_across_partitionings(vectors):
+    df, _ = vectors
+    a = ann.ivf_train_centroids(df.repartition(1), n_centroids=4, n_iter=2, seed=9)
+    b = ann.ivf_train_centroids(df.repartition(7), n_centroids=4, n_iter=2, seed=9)
+    import numpy as np
+    assert np.array_equal(a, b)
