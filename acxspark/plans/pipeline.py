@@ -95,6 +95,15 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                  use_extract: bool = False,
                  redact: bool = False,
                  text_col: str = "text") -> PipelineResult:
+    """With ``catalog`` set, the two expensive stage boundaries —
+    ``signatures`` (the fused Arrow scan) and ``edges`` (all four
+    candidate tiers) — commit snapshots stamped with the config
+    fingerprint + an input stamp (row count + order-free url
+    checksum). A re-run against the same catalog resumes PAST any
+    stage whose snapshot matches both stamps (north_rule: any stage
+    resumes from the last committed snapshot); a changed input or
+    config invalidates the snapshot and the stage recomputes. CC
+    additionally snapshots per round (operators/cc.py)."""
     lin = Lineage(lineage_path, cfg.fingerprint())
     caches: list[DataFrame] = []
 
@@ -105,6 +114,52 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
         "docs_scanned",
     ).persist()
     caches.append(docs)
+
+    spark = web.sparkSession
+    stamp: dict = {}
+    if catalog is not None:
+        row = docs.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("url")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        stamp = {"config": cfg.fingerprint(), "n_docs": int(row["n"]),
+                 "input_hash": int(row["h"])}
+
+    def _fresh(table: str) -> bool:
+        if catalog is None or not catalog.has(table):
+            return False
+        m = catalog.latest_meta(table)
+        return all(m.get(k) == v for k, v in stamp.items())
+
+    # CC's per-round snapshots carry no stamp of their own, so key the
+    # table name by (input, config) — a catalog reused across corpora
+    # or configs can never resume CC from another run's edge set
+    cc_table = (
+        f"cc_edges-{stamp['input_hash'] & 0xFFFFFFFF:08x}-{stamp['config'][:8]}"
+        if stamp else "cc_edges"
+    )
+
+    if _fresh("edges"):
+        # full candidate-tier resume: every tier's output is in the
+        # committed edge snapshot — jump straight to clustering
+        edges = catalog.read(spark, "edges")
+        edge_pairs = edges.select("id_a", "id_b")
+        clusters = cluster_assignments(
+            docs.select("url"), "url", edge_pairs, catalog=catalog,
+            table=cc_table,
+        )
+        clusters = lin.observe(clusters, "clusters_assigned")
+        survivors = docs.join(
+            clusters.filter(F.col("url") == F.col("cluster_id")).select("url"),
+            "url", "left_semi",
+        )
+        if redact:
+            from acxspark.plans.redact import scrub_text
+
+            survivors = scrub_text(survivors, text_col)
+        return PipelineResult(clusters=clusters, edges=edges,
+                              survivors=survivors, lineage=lin,
+                              caches=caches)
 
     # ---- exact tier: content-hash edges url ↔ first-url --------------
     # star edges (min-url ↔ member), not cliques: linear in group size,
@@ -143,10 +198,21 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     # dup(A)=RA near-dups dup(B)=RB, edges A–RA, B–RB (exact) and
     # RA–RB (near) put all four in one CC component.
     reps = sha_min.select(F.col("min_url").alias("url"))
-    sigs = with_signatures(
-        docs.join(reps, "url", "left_semi"),
-        text_col=text_col, cfg=cfg, id_col="url",
-    ).persist()
+    if _fresh("signatures"):
+        sigs = catalog.read(spark, "signatures").persist()
+    else:
+        sigs = with_signatures(
+            docs.join(reps, "url", "left_semi"),
+            text_col=text_col, cfg=cfg, id_col="url",
+        )
+        if catalog is not None:
+            # the checkpoint anchor (docs/SCALE.md): the signature
+            # table is the resume point that makes a killed job skip
+            # the most expensive scan; reading the committed parquet
+            # back also serves as the cache for this run
+            catalog.write("signatures", sigs, meta=stamp)
+            sigs = catalog.read(spark, "signatures")
+        sigs = sigs.persist()
     caches.append(sigs)
 
     # ---- minhash tier ------------------------------------------------
@@ -188,10 +254,18 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
 
     # ---- clustering ---------------------------------------------------
     # localCheckpoint: CC iterates joins over the edges — without the
-    # cut, every CC round would re-run all four tiers above.
-    edge_pairs = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    # cut, every CC round would re-run all four tiers above. With a
+    # catalog, the committed edge snapshot IS the lineage cut (and the
+    # resume point for the whole candidate phase).
+    if catalog is not None:
+        catalog.write("edges", edges, meta=stamp)
+        edges = catalog.read(spark, "edges")
+        edge_pairs = edges.select("id_a", "id_b")
+    else:
+        edge_pairs = edges.select("id_a", "id_b").localCheckpoint(eager=True)
     clusters = cluster_assignments(
         docs.select("url"), "url", edge_pairs, catalog=catalog,
+        table=cc_table,
     )
     clusters = lin.observe(clusters, "clusters_assigned")
 

@@ -42,3 +42,45 @@ def test_gc_retains_recent_snapshots(spark, tmp_path):
     m = json.loads((tdir / "MANIFEST.json").read_text())
     assert m["version"] == 3
     assert cat.read(spark, "t").count() == 4
+
+
+def test_pipeline_stage_level_resume(spark, tmp_path, monkeypatch):
+    """north_rule resumability, stage-granular: a re-run against the
+    same catalog resumes past the signature scan AND all candidate
+    tiers (their snapshots carry matching config+input stamps), while
+    a changed input invalidates the snapshots and recomputes."""
+    from acxspark.catalog import ParquetSnapshotCatalog
+    from acxspark.config import DedupConfig
+    from acxspark.corpus import generate, to_spark
+    from acxspark.plans import pipeline as P
+
+    cat = ParquetSnapshotCatalog(tmp_path / "cat")
+    web, _, _ = to_spark(spark, generate(n_docs=120, seed=3))
+    web = web.cache()
+    res1 = P.run_pipeline(web, cfg=DedupConfig(), catalog=cat)
+    c1 = sorted((r["url"], r["cluster_id"]) for r in res1.clusters.collect())
+    res1.release()
+    assert cat.has("signatures") and cat.has("edges")
+
+    def boom(*a, **k):  # pragma: no cover - must never fire
+        raise AssertionError("stage re-ran despite a fresh snapshot")
+
+    monkeypatch.setattr(P, "with_signatures", boom)
+    monkeypatch.setattr(P, "candidate_pairs", boom)
+    monkeypatch.setattr(P, "simhash_candidate_pairs", boom)
+    res2 = P.run_pipeline(web, cfg=DedupConfig(), catalog=cat)
+    c2 = sorted((r["url"], r["cluster_id"]) for r in res2.clusters.collect())
+    assert c2 == c1  # resumed result identical to the computed one
+    res2.release()
+    monkeypatch.undo()
+
+    # a different input (subset) must MISS the stamps and recompute
+    web2 = web.limit(80).cache()
+    res3 = P.run_pipeline(web2, cfg=DedupConfig(), catalog=cat)
+    assert res3.clusters.count() == 80
+    res3.release()
+
+    # a different config fingerprint also invalidates
+    res4 = P.run_pipeline(web, cfg=DedupConfig(shingle_k=4), catalog=cat)
+    assert res4.clusters.count() == 120
+    res4.release()
