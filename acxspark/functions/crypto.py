@@ -15,8 +15,10 @@ Parity targets:
 - ``now_iso8601_utc`` reference src/utils.cpp:48-55 — second-resolution
                       UTC string (session TZ pinned UTC)
 
-AES file crypto (reference src/crypto_file.cpp) is out of analytics
-scope — PII masking (functions/mask.py) is the privacy surface.
+AES-256-GCM file + column crypto (reference src/crypto_file.cpp) is
+implemented in :mod:`acxspark.functions.aescrypt` (round 3 — the
+``cryptography`` package turned out to be available, closing the
+last deliberate exclusion).
 """
 
 from __future__ import annotations

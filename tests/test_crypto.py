@@ -37,3 +37,75 @@ def test_deterministic_id_shape_and_stability(spark):
 def test_now_iso_format(spark):
     row = spark.range(1).select(C.now_iso8601_utc().alias("t")).collect()[0]
     assert re.fullmatch(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z", row["t"])
+
+
+# ---------------------------------------------------- AES-256-GCM (r3)
+
+
+def test_aes_file_roundtrip_key_container(tmp_path):
+    """ACXEG1 parity (reference crypto_file.cpp:86-91): magic || iv(12)
+    || tag(16) || ct, 32-byte hex key; roundtrip byte-identical;
+    tamper => auth failure, wrong key => auth failure."""
+    import pytest as _pytest
+
+    from acxspark.functions import aescrypt as AC
+
+    src = tmp_path / "plain.jsonl"
+    src.write_bytes(b'{"id":"a"}\n{"id":"b"}\n' * 100)
+    enc, dec = tmp_path / "x.acxeg", tmp_path / "out.jsonl"
+    key = AC.random_key_hex()
+    AC.encrypt_file_aes256gcm(str(src), str(enc), key_hex=key)
+    blob = enc.read_bytes()
+    assert blob[:6] == b"ACXEG1" and len(blob) == 6 + 12 + 16 + src.stat().st_size
+    AC.decrypt_file_aes256gcm(str(enc), str(dec), key_hex=key)
+    assert dec.read_bytes() == src.read_bytes()
+    # tamper one ciphertext byte -> loud auth failure
+    t = bytearray(blob); t[-1] ^= 1
+    enc.write_bytes(bytes(t))
+    with _pytest.raises(Exception):
+        AC.decrypt_file_aes256gcm(str(enc), str(dec), key_hex=key)
+    enc.write_bytes(blob)
+    with _pytest.raises(Exception):
+        AC.decrypt_file_aes256gcm(str(enc), str(dec), key_hex=AC.random_key_hex())
+
+
+def test_aes_file_roundtrip_passphrase_container(tmp_path):
+    """ACXEG2 parity (crypto_file.cpp:108-117): magic || salt(16) ||
+    iters(4 BE) || iv || tag || ct with PBKDF2-HMAC-SHA256."""
+    from acxspark.functions import aescrypt as AC
+
+    src = tmp_path / "p.bin"
+    src.write_bytes(bytes(range(256)) * 50)
+    enc, dec = tmp_path / "p.acxeg", tmp_path / "p.out"
+    AC.encrypt_file_aes256gcm(str(src), str(enc), passphrase="hunter2!")
+    blob = enc.read_bytes()
+    assert blob[:6] == b"ACXEG2"
+    assert int.from_bytes(blob[22:26], "big") == 200000  # reference iters
+    AC.decrypt_file_aes256gcm(str(enc), str(dec), passphrase="hunter2!")
+    assert dec.read_bytes() == src.read_bytes()
+
+
+def test_aes_column_roundtrip_deterministic(spark):
+    """Distributed column crypto: id-derived nonces make ciphertext a
+    pure function of (key, id, value) — byte-identical across
+    partitionings — while distinct ids never share a nonce; decrypt
+    restores plaintext, corrupt blob decrypts to NULL."""
+    from pyspark.sql import functions as F
+
+    from acxspark.functions import aescrypt as AC
+
+    key = "ab" * 32
+    rows = [(str(i), f"secret value {i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "id string, v string")
+    enc1 = {r["id"]: bytes(r["c"]) for r in df.repartition(1).select(
+        "id", AC.encrypt_col("v", "id", key).alias("c")).collect()}
+    enc7 = {r["id"]: bytes(r["c"]) for r in df.repartition(7).select(
+        "id", AC.encrypt_col("v", "id", key).alias("c")).collect()}
+    assert enc1 == enc7  # deterministic across layouts
+    nonces = {c[:12] for c in enc1.values()}
+    assert len(nonces) == 50  # unique nonce per id
+    back = df.withColumn("c", AC.encrypt_col("v", "id", key)).select(
+        "id", "v", AC.decrypt_col("c", key).alias("p"),
+        AC.decrypt_col(F.lit(b"\x00" * 40), key).alias("bad"))
+    for r in back.collect():
+        assert r["p"] == r["v"] and r["bad"] is None
