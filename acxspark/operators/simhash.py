@@ -37,6 +37,19 @@ def _sim_scratch(n: int) -> np.ndarray:
 
 
 def simhash_batch(shingle_lists: pd.Series) -> pd.Series:
+    """Reference per-row implementation (LOGICAL bit order).
+
+    NOT bit-identical to the fused kernel
+    (signatures._simhash_flat): that kernel's unpackbits layout is a
+    consistent byte-wise-MSB relabeling of the bit index, and
+    ``with_simhash`` feeds DISTINCT shingles where the kernel votes
+    over the multiset. Each variant is a valid SimHash and internally
+    consistent (Hamming distances agree within one variant), but
+    fingerprints from the two paths MUST NOT be mixed in one
+    candidate probe. The pipeline uses the fused kernel everywhere;
+    this function is the unit-test reference and standalone API. The
+    cross-implementation agreement for the kernel's exact convention
+    is oracle-checked in queries.simhash_crosscheck."""
     out = []
     weights_template = np.arange(64, dtype=np.uint64)
     one = np.uint64(1)
