@@ -94,6 +94,12 @@ def write_report(big: dict[int, dict], small: dict[int, dict],
                  bw: dict, big_docs: int,
                  stages: dict[int, dict] | None = None) -> None:
     """Assemble BENCH/scaling.json + BENCH/BASELINE.md from measured
+
+    NOTE: BASELINE.md carries manually-written round addenda below the
+    generated report (round-3 sections; raw data in BENCH/r3_*.jsonl).
+    Re-running this tool OVERWRITES the file — re-append the addenda
+    from the jsonl files if you regenerate.
+    
     per-level results (big[cores] / small[cores] = scaling_job dicts,
     min wall over >=2 fresh-JVM best-of-2 runs per level; stages =
     optional {cores: stage_breakdown dict} at SMALL_DOCS)."""
