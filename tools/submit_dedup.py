@@ -44,6 +44,12 @@ def main() -> None:
                     help="snapshot dir: CC rounds commit here and resume after a kill")
     ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="override spark.sql.shuffle.partitions (else submit conf/AQE)")
+    ap.add_argument("--shingle-max-doc-freq", type=float, default=None,
+                    help="drop shingles in more than this FRACTION of docs before "
+                         "signatures (boilerplate/idf cut; off by default)")
+    ap.add_argument("--df-sample-mod", type=int, default=1,
+                    help="estimate gram doc-frequency on the deterministic "
+                         "1/MOD content-keyed sample (1 = exact count)")
     args = ap.parse_args()
 
     from acxspark.catalog import ParquetSnapshotCatalog
@@ -58,7 +64,10 @@ def main() -> None:
 
     res = run_pipeline(
         web,
-        cfg=DedupConfig(),
+        cfg=DedupConfig(
+            shingle_max_doc_freq=args.shingle_max_doc_freq,
+            df_sample_mod=args.df_sample_mod,
+        ),
         lineage_path=f"{args.output}/lineage.json",
         catalog=cat,
         use_extract=args.use_extract,
