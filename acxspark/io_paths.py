@@ -125,6 +125,50 @@ def read_csv(
     return df.na.fill("", subset=str_cols)
 
 
+def naive_split_fields(line_col) -> F.Column:
+    """BUG-COMPAT naive CSV split (reference src/storage.cpp:446-455):
+    split on ',' with NO quote handling — a quoted field containing a
+    comma mis-parses exactly as the reference's importer does. Returns
+    a struct of the 6 contact fields, or NULL for lines with fewer
+    than 6 parts (the reference silently skips them); parts beyond 6
+    are ignored (the reference reads parts[0..5] only)."""
+    parts = F.split(line_col, ",")
+    return F.when(
+        F.size(parts) >= 6,
+        F.struct(
+            *[
+                F.element_at(parts, i + 1).alias(c)
+                for i, c in enumerate(CONTACT_COLUMNS)
+            ]
+        ),
+    )
+
+
+def read_csv_naive(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's naive CSV import scan, deliberately bug-compat
+    (src/storage.cpp:441-464): line-split text, drop the header row,
+    comma-split with NO quote handling, silently drop <6-field lines.
+
+    Round 1-2 excluded this as bug-compat-only; it ships in round 3 so
+    a reference user migrating malformed-but-working import flows gets
+    identical mis-parses (the RFC 4180 path, :func:`read_csv`, is the
+    correct-parsing default). Two documented deviations from the
+    sequential importer: the header is dropped by matching the
+    reference's own export header line (distributed text sources have
+    no per-file line index), and the empty-id/created_at backfills
+    (random uuid, wall clock, src/storage.cpp:456-457) are NOT applied
+    — both are nondeterministic; use crypto.deterministic_id
+    downstream instead."""
+    header = ",".join(CONTACT_COLUMNS)
+    lines = spark.read.text(path)
+    return (
+        lines.filter((F.col("value") != "") & (F.col("value") != header))
+        .select(naive_split_fields(F.col("value")).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .select(*[F.col(f"c.{c}").alias(c) for c in CONTACT_COLUMNS])
+    )
+
+
 def write_csv_sorted(df: DataFrame, path: str, sep: str = ",") -> None:
     """Header + rows TOTALLY sorted by id, RFC-escaped — the
     reference's deterministic export contract (src/storage.cpp:252-281,

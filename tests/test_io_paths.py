@@ -118,3 +118,32 @@ def test_jsonl_byte_cap_counts_bytes_not_chars(spark, tmp_path):
                             "phone": "2"}, ensure_ascii=False) + "\n")
     kept = IO.read_jsonl(spark, str(p), keep_corrupt=True, max_record_bytes=4096)
     assert [r["id"] for r in kept.select("id").collect()] == ["a"]
+
+
+def test_naive_csv_scan_bug_compat(spark, tmp_path):
+    """The deliberately bug-compat naive split (reference
+    storage.cpp:446-455): quoted commas MIS-PARSE identically to the
+    reference, <6-field lines drop silently, >6 fields ignore the
+    tail, header line dropped."""
+    p = tmp_path / "naive.csv"
+    p.write_text(
+        "id,name,email,phone,note,created_at\n"
+        "1,Ann,a@x.com,555,plain note,2024-01-01\n"
+        '2,"Smith, John",j@x.com,556,quoted name,2024-01-02\n'
+        "3,short,line\n"
+        "4,Bob,b@x.com,557,note,2024-01-03,EXTRA,MORE\n"
+        "\n"
+    )
+    rows = {r["id"]: r for r in IO.read_csv_naive(spark, str(p)).collect()}
+    assert set(rows) == {"1", "2", "4"}  # header + short + empty dropped
+    assert rows["1"]["name"] == "Ann" and rows["1"]["note"] == "plain note"
+    # THE bug, faithfully: the quoted comma splits the name field and
+    # shifts every later column one position left
+    assert rows["2"]["name"] == '"Smith'
+    assert rows["2"]["email"] == ' John"'
+    assert rows["2"]["phone"] == "j@x.com"
+    assert rows["2"]["created_at"] == "quoted name"
+    assert rows["4"]["created_at"] == "2024-01-03"  # 7th+ fields ignored
+    # and the CORRECT parser disagrees on exactly the quoted row
+    rfc = {r["id"]: r for r in IO.read_csv(spark, str(p), failfast=False).collect()}
+    assert rfc["2"]["name"] == "Smith, John"
