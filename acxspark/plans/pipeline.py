@@ -148,7 +148,9 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
             docs.select("url"), "url", edge_pairs, catalog=catalog,
             table=cc_table,
         )
-        clusters = lin.observe(clusters, "clusters_assigned")
+        catalog.write("clusters", clusters, meta=stamp)
+        clusters = lin.observe(catalog.read(spark, "clusters"),
+                               "clusters_assigned")
         survivors = docs.join(
             clusters.filter(F.col("url") == F.col("cluster_id")).select("url"),
             "url", "left_semi",
@@ -209,8 +211,11 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
             # the checkpoint anchor (docs/SCALE.md): the signature
             # table is the resume point that makes a killed job skip
             # the most expensive scan; reading the committed parquet
-            # back also serves as the cache for this run
-            catalog.write("signatures", sigs, meta=stamp)
+            # back also serves as the cache for this run. text_sha
+            # rides along (32 B/row) so INCREMENTAL runs
+            # (plans/incremental.py) can run the exact tier against
+            # this snapshot without touching old text.
+            catalog.write("signatures", sigs.join(hashed, "url"), meta=stamp)
             sigs = catalog.read(spark, "signatures")
         sigs = sigs.persist()
     caches.append(sigs)
@@ -267,6 +272,11 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
         docs.select("url"), "url", edge_pairs, catalog=catalog,
         table=cc_table,
     )
+    if catalog is not None:
+        # the cluster snapshot is what incremental runs
+        # (plans/incremental.py) join new batches against
+        catalog.write("clusters", clusters, meta=stamp)
+        clusters = catalog.read(spark, "clusters")
     clusters = lin.observe(clusters, "clusters_assigned")
 
     # ---- survivors + redact ------------------------------------------

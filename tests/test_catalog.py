@@ -84,3 +84,70 @@ def test_pipeline_stage_level_resume(spark, tmp_path, monkeypatch):
     res4 = P.run_pipeline(web, cfg=DedupConfig(shingle_k=4), catalog=cat)
     assert res4.clusters.count() == 120
     res4.release()
+
+
+def test_incremental_folds_new_batch_into_frozen_base(spark, tmp_path):
+    """Incremental plan: new docs join matched old clusters (labels
+    FROZEN), intra-increment dups cluster first-wins, uniques stand
+    alone, and the snapshots advance so the next increment sees this
+    one."""
+    from acxspark.catalog import ParquetSnapshotCatalog
+    from acxspark.config import DedupConfig
+    from acxspark.plans.incremental import run_incremental
+    from acxspark.plans.pipeline import run_pipeline
+
+    base_text = ("the quick brown fox jumps over the lazy dog while "
+                 "seventeen ships sail quietly past the harbor wall "
+                 "under a pale winter sky full of patient birds ")
+    other = ("completely different content about distributed shuffle "
+             "joins and columnar execution engines at petabyte scale "
+             "with adaptive query planning and skew mitigation ")
+    edit = base_text.replace("winter", "summer")
+    cat = ParquetSnapshotCatalog(tmp_path / "cat")
+    A = spark.createDataFrame(
+        [("a1", base_text), ("a2", edit),          # near pair
+         ("a3", other), ("a4", other),             # exact pair
+         ("a5", "tiny unique doc five " * 10),
+         ("a6", "tiny unique doc six " * 10)],
+        "url string, text string",
+    )
+    res = run_pipeline(A, cfg=DedupConfig(), catalog=cat)
+    old = {r["url"]: r["cluster_id"] for r in res.clusters.collect()}
+    res.release()
+    assert old["a1"] == old["a2"] == "a1"
+    assert old["a3"] == old["a4"] == "a3"
+
+    B = spark.createDataFrame(
+        [("b1", "tiny unique doc five " * 10),              # exact dup of a5
+         ("b2", base_text.replace("patient", "curious")),   # near dup of a1
+         ("b3", "brand new cluster of words " * 8),
+         ("b4", "brand new cluster of words " * 8 + "tail"),# near dup of b3
+         ("b5", "entirely novel singleton document " * 6)],
+        "url string, text string",
+    )
+    inc = run_incremental(B, cat, cfg=DedupConfig())
+    got = {r["url"]: r["cluster_id"] for r in inc.assignments.collect()}
+    assert got["b1"] == "a5"            # joined the old cluster, frozen label
+    assert got["b2"] == "a1"
+    assert got["b3"] == got["b4"] == "b3"  # first-wins within increment
+    assert got["b5"] == "b5"
+
+    # snapshots advanced: old labels unchanged, new rows present
+    snap = {r["url"]: r["cluster_id"]
+            for r in cat.read(spark, "clusters").collect()}
+    for u, c in old.items():
+        assert snap[u] == c
+    for u, c in got.items():
+        assert snap[u] == c
+
+    # a SECOND increment matches content first seen in the FIRST one
+    C = spark.createDataFrame(
+        [("c1", "brand new cluster of words " * 8 + "small tail")],
+        "url string, text string",
+    )
+    inc2 = run_incremental(C, cat, cfg=DedupConfig())
+    got2 = {r["url"]: r["cluster_id"] for r in inc2.assignments.collect()}
+    assert got2["c1"] == "b3"           # b3's frozen label propagates
+    inc.lineage.flush()
+    for df in inc.caches + inc2.caches:
+        df.unpersist()
