@@ -26,27 +26,34 @@ from pyspark.sql import functions as F
 from acxspark.config import DEFAULT_CONFIG, DedupConfig
 
 
-def band_keys(df: DataFrame, id_col: str, sig_col: str = "minhash",
-              cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Explode the signature into (id, band_idx, band_key) — JVM-side.
+def band_struct_col(sig_col, cfg: DedupConfig = DEFAULT_CONFIG):
+    """array<struct<band_idx, band_key>> column expression over a
+    MinHash signature — shared by the batch explode (band_keys) and
+    the streaming near-dup flagger (streaming/stream_ops.py).
 
     band_key = xxhash64(band_idx, slice(sig)) — xxhash64 hashes the
     long-array slice directly; band_idx in the hash keeps keys from
     different bands out of each other's buckets. NO string building:
     an earlier concat_ws-of-casts variant allocated O(bands × rows)
     strings per doc and was GC-bound at local[32] (measured 4.5×
-    anti-scaling on this exact stage).
-    """
+    anti-scaling on this exact stage)."""
     r = cfg.lsh_rows
-    bands = F.transform(
+    c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.transform(
         F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
         lambda bi: F.struct(
             bi.alias("band_idx"),
-            F.xxhash64(bi, F.slice(F.col(sig_col), bi * r + 1, r)).alias("band_key"),
+            F.xxhash64(bi, F.slice(c, bi * r + 1, r)).alias("band_key"),
         ),
     )
+
+
+def band_keys(df: DataFrame, id_col: str, sig_col: str = "minhash",
+              cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Explode the signature into (id, band_idx, band_key) — JVM-side
+    (see :func:`band_struct_col` for the key construction)."""
     return (
-        df.select(F.col(id_col), F.explode(bands).alias("b"))
+        df.select(F.col(id_col), F.explode(band_struct_col(sig_col, cfg)).alias("b"))
         .select(id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
     )
 

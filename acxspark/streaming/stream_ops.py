@@ -78,3 +78,71 @@ def streaming_validate(docs: DataFrame, name_col: str, email_col: str) -> DataFr
         .when(F.col(name_col).isNull() | (F.length(name_col) == 0), F.lit("empty_name"))
         .otherwise(F.lit("bad_email")),
     )
+
+
+def streaming_near_dup_flags(
+    stream_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    cfg=None,
+    text_col: str = "text",
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Flag streaming docs that NEAR-duplicate a static corpus:
+    (url, ts, dup_of, jaccard) — at most one flag per url within the
+    watermark horizon.
+
+    The streaming face of the incremental plan (plans/incremental.py):
+    ``corpus_sigs`` is the committed signature snapshot (url, shingles,
+    minhash, ...); the incoming stream computes its signatures in the
+    same fused Arrow pass, explodes band keys, and matches via a
+    STREAM-STATIC equi-join on band_key — fully supported by
+    Structured Streaming with no stream-side state for the join; the
+    only stateful operator is the final
+    ``dropDuplicatesWithinWatermark`` that collapses a doc's multiple
+    band hits to one flag, keyed on url (state bounded by the
+    watermark lag, not the corpus).
+
+    Scale: the static side is the corpus band table — at 10^12 docs
+    that is served as a bucketed table the join co-locates against,
+    and the exact-Jaccard re-check joins the slim (url, shingles)
+    snapshot. Exactly the new×old half of the incremental plan, at
+    source rate.
+    """
+    from acxspark.config import DEFAULT_CONFIG
+    from acxspark.operators.lsh import band_struct_col
+    from acxspark.operators.signatures import signature_col
+
+    cfg = cfg or DEFAULT_CONFIG
+    docs = stream_docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    sigs = docs.withColumn("_sig", signature_col(F.col(text_col), cfg)).select(
+        F.col(url_col), F.col(ts_col),
+        F.col("_sig.shingles").alias("_sh_a"),
+        F.col("_sig.minhash").alias("_mh"),
+    )
+    stream_bands = sigs.select(
+        url_col, ts_col, "_sh_a",
+        F.explode(band_struct_col("_mh", cfg)).alias("_b"),
+    ).select(url_col, ts_col, "_sh_a", F.col("_b.band_key").alias("band_key"))
+
+    corpus_bands = (
+        corpus_sigs.select(
+            F.col(url_col).alias("dup_of"),
+            F.explode(band_struct_col("minhash", cfg)).alias("_b"),
+            F.col("shingles").alias("_sh_b"),
+        )
+        .select("dup_of", F.col("_b.band_key").alias("band_key"), "_sh_b")
+    )
+
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    matches = (
+        stream_bands.join(corpus_bands, "band_key")  # stream-static
+        .withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+        .filter(F.col("jaccard") >= cfg.jaccard_threshold)
+        .select(url_col, ts_col, "dup_of", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return matches.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [url_col]
+    )

@@ -120,3 +120,46 @@ def test_streaming_validate_stateless(spark, tmp_path):
     assert got["Ann"] == (True, None)
     assert got[""] == (False, "empty_name")
     assert got["Cid"] == (False, "bad_email")
+
+
+def test_streaming_near_dup_flags_vs_static_corpus(spark, tmp_path):
+    """Stream-static near-dup flagging: a streamed doc that
+    near-duplicates the committed corpus is flagged exactly once with
+    its match; novel docs are not flagged."""
+    import pyspark.sql.functions as F
+
+    from acxspark.config import DedupConfig
+    from acxspark.operators.signatures import with_signatures
+    from acxspark.streaming.stream_ops import streaming_near_dup_flags
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen ships sail quietly past the harbor wall "
+            "under a pale winter sky full of patient birds ")
+    corpus = spark.createDataFrame(
+        [("a1", base), ("a2", "unrelated corpus text about engines " * 6)],
+        "url string, text string",
+    )
+    corpus_sigs = with_signatures(corpus, text_col="text",
+                                  cfg=DedupConfig(), id_col="url").cache()
+
+    src = tmp_path / "stream_src"
+    spark.createDataFrame(
+        [("b1", "2024-01-01 00:00:01", base.replace("winter", "summer")),
+         ("b2", "2024-01-01 00:00:02", "completely novel streamed text " * 8)],
+        "url string, ts string, text string",
+    ).write.parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "url string, ts string, text string"
+    ).parquet(str(src))
+    flags = streaming_near_dup_flags(stream, corpus_sigs, cfg=DedupConfig())
+    q = (
+        flags.writeStream.format("memory").queryName("nd_flags")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM nd_flags").collect()
+    got = {r["url"]: r["dup_of"] for r in rows}
+    assert got == {"b1": "a1"}  # flagged once, right match, b2 absent
+    assert all(r["jaccard"] >= 0.68 for r in rows)
