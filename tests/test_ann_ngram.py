@@ -263,3 +263,29 @@ def test_ivf_centroids_deterministic_across_partitionings(vectors):
     b = ann.ivf_train_centroids(df.repartition(7), n_centroids=4, n_iter=2, seed=9)
     import numpy as np
     assert np.array_equal(a, b)
+
+
+def test_ivf_partitioned_layout_prunes_partitions(vectors, tmp_path):
+    """write_ivf_partitioned + cluster_col: the probe's cell filter
+    lands on the PARTITION column (PartitionFilters in the plan —
+    unprobed cells cost zero IO) and results equal the compute-assign
+    path."""
+    df, _ = vectors
+    spark = df.sparkSession
+    cents = ann.ivf_train_centroids(df, n_centroids=8, n_iter=3, seed=5)
+    path = str(tmp_path / "ivf_corpus")
+    ann.write_ivf_partitioned(df, cents, path)
+    part = spark.read.parquet(path)
+    queries = df.filter(F.col("vec_id") < 6)
+    a = {(r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+         for r in ann.ivf_topk(part, queries, cents, k=3, n_probe=2,
+                               cluster_col="ivf_cluster").collect()}
+    b = {(r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+         for r in ann.ivf_topk(df, queries, cents, k=3, n_probe=2).collect()}
+    assert a == b and len(a) > 0
+    plan = (
+        ann.ivf_topk(part, queries, cents, k=3, n_probe=2,
+                     cluster_col="ivf_cluster")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan
