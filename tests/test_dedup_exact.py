@@ -56,3 +56,28 @@ def test_or_key_transitive_identity(spark):
     got = {r["id"]: r["cluster_id"] for r in or_key_components(df, "id", ["email", "phone"]).collect()}
     assert got["A"] == got["B"] == got["C"] == "A"
     assert got["D"] == "D"
+
+
+def test_line_dedup_first_occurrence_across_corpus(spark):
+    """CCNet/RefinedWeb-style line dedup: a line repeated across docs
+    survives only at its first (id, pos) occurrence; blank lines are
+    per-document layout and never corpus-deduped; docs reassemble in
+    original order."""
+    from acxspark.operators.linededup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha\nboiler\nbeta"),
+         (2, "boiler\ngamma"),
+         (3, "delta\n\nboiler"),
+         (4, "boiler")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "alpha\nboiler\nbeta"
+    assert out[2]["clean_text"] == "gamma" and out[2]["n_kept"] == 1
+    assert out[3]["clean_text"] == "delta\n" and out[3]["n_lines"] == 3
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
+    # determinism across partitionings
+    a = sorted(map(tuple, line_dedup(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, line_dedup(docs.repartition(7)).collect()))
+    assert a == b
