@@ -1,0 +1,84 @@
+"""URL canonicalization + canonical-URL dedup (functions/url.py).
+
+The webtext analogue of the reference's normalize-then-key dedup
+(normalized email as the contact identity, src/dedupe.cpp:16-38):
+pages are keyed by RFC-3986-normalized URL before any content tier.
+"""
+import pyspark.sql.functions as F
+import pytest
+
+from acxspark.functions.url import (
+    canonicalize_url,
+    dedup_by_canonical_url,
+    url_host,
+)
+
+
+CASES = [
+    # case-fold scheme+host, strip default port, drop utm_*, sort params, drop fragment
+    ("HTTP://WWW.Example.COM:80/Docs/A?b=2&utm_source=rss&a=1#frag",
+     "http://www.example.com/Docs/A?a=1&b=2"),
+    # already canonical → fixpoint
+    ("http://www.example.com/Docs/A?a=1&b=2",
+     "http://www.example.com/Docs/A?a=1&b=2"),
+    # default https port + empty path → "/"
+    ("https://example.com:443", "https://example.com/"),
+    # dangling "?" disappears
+    ("https://example.com/?", "https://example.com/"),
+    # non-default port survives; click-id param dropped
+    ("https://example.com:8080/x?fbclid=abc", "https://example.com:8080/x"),
+    # whitespace trimmed; path case + trailing slash preserved
+    ("  http://example.com/Path/  ", "http://example.com/Path/"),
+    # bare tracking key (no "=") dropped too
+    ("http://example.com/x?ref&a=1", "http://example.com/x?a=1"),
+]
+
+
+def test_canonicalize_url_cases(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], ["url"])
+    got = [r["c"] for r in
+           df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in CASES]
+
+
+def test_canonicalize_idempotent(spark):
+    """canon(canon(u)) == canon(u) — normalization is a fixpoint."""
+    df = spark.createDataFrame([(r,) for r, _ in CASES], ["url"])
+    once = df.select(canonicalize_url(F.col("url")).alias("u"))
+    twice = once.select(canonicalize_url(F.col("u")).alias("u"))
+    assert [r["u"] for r in once.collect()] == [r["u"] for r in twice.collect()]
+
+
+def test_url_host(spark):
+    rows = [
+        ("https://u:p@Example.COM:8443/x", "example.com"),
+        ("http://www.a.org/", "www.a.org"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in rows], ["url"])
+    got = [r["h"] for r in df.select(url_host(F.col("url")).alias("h")).collect()]
+    assert got == [w for _, w in rows]
+
+
+def test_dedup_by_canonical_url_newest_wins(spark):
+    rows = [
+        ("HTTP://A.com:80/p?utm_source=x", 1, "old"),
+        ("http://a.com/p", 3, "new"),
+        ("http://a.com/p#sec", 2, "mid"),
+        ("https://b.com/q", 5, "only"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "text"])
+    out = {r["canonical_url"]: r
+           for r in dedup_by_canonical_url(df).collect()}
+    assert set(out) == {"http://a.com/p", "https://b.com/q"}
+    a = out["http://a.com/p"]
+    assert (a["warc_ts"], a["text"], a["n_captures"]) == (3, "new", 3)
+    assert out["https://b.com/q"]["n_captures"] == 1
+
+
+def test_dedup_deterministic_across_partitioning(spark):
+    rows = [(f"http://h{i % 7}.com/p{i % 3}?utm_c=x" if i % 2 else
+             f"HTTP://H{i % 7}.COM/p{i % 3}", i, f"t{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "text"])
+    a = sorted(map(tuple, dedup_by_canonical_url(df.repartition(1)).collect()))
+    b = sorted(map(tuple, dedup_by_canonical_url(df.repartition(13)).collect()))
+    assert a == b
