@@ -6,7 +6,8 @@ validate; src/policy.cpp:22-59 redact) with DataFrame stages over
 ``webpages(url, warc_ts, html, text, lang)`` (BASELINE.json
 input_hint):
 
-  extract (Arrow UDF, byte-identical per url)
+  url dedup (opt-in stage 0: newest capture per canonical URL)
+  → extract (Arrow UDF, byte-identical per url)
   → exact tier   (sha2 content hash, first-wins)
   → minhash tier (shingles → signatures → LSH bands → candidates)
   → simhash tier (fingerprint → Hamming-ball candidates)
@@ -94,6 +95,7 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                  catalog=None,
                  use_extract: bool = False,
                  redact: bool = False,
+                 url_dedup: bool = False,
                  text_col: str = "text") -> PipelineResult:
     """With ``catalog`` set, the two expensive stage boundaries —
     ``signatures`` (the fused Arrow scan) and ``edges`` (all four
@@ -106,6 +108,26 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     additionally snapshots per round (operators/cc.py)."""
     lin = Lineage(lineage_path, cfg.fingerprint())
     caches: list[DataFrame] = []
+
+    if url_dedup:
+        # stage 0 (crawl order of operations): a re-crawled page —
+        # same page under N capture timestamps and/or messy URL
+        # variants (tracking params, case, fragments) — must not enter
+        # the content tiers N times. One argmax shuffle on the
+        # canonical key keeps the newest capture per page BEFORE the
+        # expensive extract/signature scans; everything downstream
+        # keeps the surviving row's raw url as its identity, so the
+        # rest of the pipeline is unchanged. Opt-in because a
+        # pre-deduped corpus (the common test path) pays the shuffle
+        # for nothing.
+        from acxspark.functions.url import dedup_by_canonical_url
+
+        order = "warc_ts" if "warc_ts" in web.columns else "url"
+        web = lin.observe(
+            dedup_by_canonical_url(web, url_col="url", order_col=order)
+            .drop("canonical_url", "n_captures"),
+            "urls_after_capture_dedup",
+        )
 
     if use_extract:
         web = extract_stage(web).withColumn(text_col, F.col("extracted_text"))

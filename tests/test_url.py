@@ -82,3 +82,36 @@ def test_dedup_deterministic_across_partitioning(spark):
     a = sorted(map(tuple, dedup_by_canonical_url(df.repartition(1)).collect()))
     b = sorted(map(tuple, dedup_by_canonical_url(df.repartition(13)).collect()))
     assert a == b
+
+
+def test_pipeline_url_dedup_stage0(spark):
+    """Re-crawled pages (messy URL variants + stale captures) must not
+    enter the content tiers: with url_dedup=True the pipeline yields
+    exactly the clean corpus' clusters, and no stale text survives."""
+    from acxspark.config import DedupConfig
+    from acxspark.corpus import generate, to_spark
+    from acxspark.plans.pipeline import run_pipeline
+
+    web, tp, tc = to_spark(spark, generate(n_docs=120, seed=3))
+    # stale recrawl of every page: same canonical URL spelled messily,
+    # older capture timestamp, corrupted text (would wreck recall if kept)
+    stale = web.select(
+        F.concat(
+            F.regexp_replace(F.col("url"), "^https://site", "HTTPS://SITE"),
+            F.lit("?utm_source=stale#frag"),
+        ).alias("url"),
+        (F.col("warc_ts") - F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+        F.col("html"),
+        F.concat(F.lit("STALE "), F.col("text")).alias("text"),
+        F.col("lang"),
+    )
+    noisy = web.unionByName(stale)
+
+    cfg = DedupConfig()
+    clean = run_pipeline(web, cfg=cfg)
+    got = run_pipeline(noisy, cfg=cfg, url_dedup=True)
+    clean_cl = sorted(map(tuple, clean.clusters.collect()))
+    got_cl = sorted(map(tuple, got.clusters.collect()))
+    assert got_cl == clean_cl
+    assert got.survivors.filter(F.col("text").startswith("STALE")).count() == 0
+    clean.release(), got.release()
