@@ -57,6 +57,36 @@ def _max_multiplicity(grams: Column) -> Column:
     )
 
 
+def repetition_cols(
+    text: Column,
+    n: int = 2,
+    max_dup_frac: float = 0.3,
+    max_top_frac: float = 0.2,
+    min_grams: int = 20,
+) -> dict[str, Column]:
+    """The four stat columns as plain expressions, for composing into
+    a wider single-scan select (e.g. the webtext_clean_gate query):
+    n_grams, dup_gram_frac, top_gram_frac, rep_keep."""
+    toks = F.filter(F.split(text, " "), lambda x: x != "")
+    grams = _ngrams(toks, n)
+    total = F.size(grams)
+    dup = F.when(
+        total > 0,
+        F.round(1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    top = F.when(
+        total > 0,
+        F.round(_max_multiplicity(grams) / total.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    keep = (total < min_grams) | ((dup <= max_dup_frac) & (top <= max_top_frac))
+    return {
+        "n_grams": total,
+        "dup_gram_frac": dup,
+        "top_gram_frac": top,
+        "rep_keep": keep,
+    }
+
+
 def repetition_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -78,27 +108,10 @@ def repetition_stats(
     web documents, not snippets). Fractions are rounded to 6 decimals
     (stable across engines).
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    grams = _ngrams(toks, n)
-    total = F.size(grams)
-    dup = F.when(
-        total > 0,
-        F.round(1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6),
-    ).otherwise(F.lit(0.0))
-    top = F.when(
-        total > 0,
-        F.round(_max_multiplicity(grams) / total.cast("double"), 6),
-    ).otherwise(F.lit(0.0))
+    cols = repetition_cols(
+        F.col(text_col), n=n, max_dup_frac=max_dup_frac,
+        max_top_frac=max_top_frac, min_grams=min_grams,
+    )
     return docs.select(
-        F.col(id_col),
-        total.alias("n_grams"),
-        dup.alias("dup_gram_frac"),
-        top.alias("top_gram_frac"),
-    ).withColumn(
-        "rep_keep",
-        (F.col("n_grams") < min_grams)
-        | (
-            (F.col("dup_gram_frac") <= max_dup_frac)
-            & (F.col("top_gram_frac") <= max_top_frac)
-        ),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )

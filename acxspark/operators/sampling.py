@@ -1,0 +1,51 @@
+"""Stratified exact-N sampling — the training-data curation step that
+follows cleaning/dedup: draw exactly N documents per stratum (per
+language, per source, per quality bucket) deterministically, so a
+data mix is reproducible run-to-run and auditable. Extends the
+reference's exact-N reservoir sample (src/cli.cpp:423-445, uniform
+only) to per-group draws with a pinned seed.
+
+Scale design: a naive ``row_number() OVER (PARTITION BY stratum)``
+puts an entire hot stratum (``lang='en'`` is half the web) on ONE
+reducer. The draw here is a two-level tournament: level 1 ranks
+within (stratum, salt-bucket) — bounding any reducer's partition to
+~|stratum|/S rows — and keeps n per bucket; level 2 ranks the
+surviving S*n rows per stratum (tiny) and keeps the final n. The
+seeded-hash order makes both levels deterministic AND equivalent to
+the single-window draw: the global top-n of a stratum is always in
+the level-1 survivors, because each level-1 bucket forwards its own
+top-n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    seed: int = 42,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Exactly ``min(n_per_stratum, |stratum|)`` rows per stratum,
+    chosen by seeded md5 rank (engine-portable; ties broken by id).
+    Output columns = input columns."""
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    ).alias("_h")
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets))
+    w1 = Window.partitionBy(strata_col, "_salt").orderBy("_h", id_col)
+    w2 = Window.partitionBy(strata_col).orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= n_per_stratum)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= n_per_stratum)
+        .drop("_h", "_salt", "_rn1", "_rn2")
+    )

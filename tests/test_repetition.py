@@ -47,3 +47,19 @@ def test_repetition_no_shuffle_plan(spark):
                                ["doc_id", "text"])
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_clean_gate_single_scan_no_shuffle(spark, tmp_path):
+    """The composed webtext_clean_gate must stay one map-only scan."""
+    import pandas as pd
+    p = str(tmp_path / "documents.parquet")
+    pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["the quick brown fox jumps over the lazy dog " * 5] * 6,
+        "lang": ["en"] * 6, "source": ["s"] * 6, "n_chars": [10] * 6,
+    }).to_parquet(p)
+    from acxspark.queries import REGISTRY
+    df = REGISTRY["webtext_clean_gate"].fn(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert df.count() == 6
