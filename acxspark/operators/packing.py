@@ -116,6 +116,38 @@ def pack_token_budget(
     )
 
 
+def write_packed_shards(
+    df: DataFrame,
+    path: str,
+    token_col: str,
+    id_col: str,
+    budget: int,
+    seed: int = 42,
+    bucket_chars: int = 2,
+    shards_per_file: int = 1024,
+) -> None:
+    """Materialize the packed layout: parquet PARTITIONED BY
+    ``shard_file`` (= shard_id div shards_per_file, so the directory
+    count stays bounded — 10^12 docs at 2048-token shards is ~10^9
+    shards, far too many directories at 1 shard/file), each file
+    sorted by ``start_offset``. A trainer reads one partition
+    directory, already in stream order; partition pruning makes
+    "give me shards [a, b)" a storage-level file skip, the same
+    device as write_ivf_partitioned (operators/ann.py)."""
+    packed = pack_token_budget(df, token_col, id_col, budget, seed, bucket_chars)
+    (
+        packed.withColumn(
+            "shard_file",
+            F.floor(F.col("shard_id") / F.lit(shards_per_file)).cast("long"),
+        )
+        .repartition("shard_file")
+        .sortWithinPartitions("start_offset")
+        .write.mode("overwrite")
+        .partitionBy("shard_file")
+        .parquet(path)
+    )
+
+
 def train_val_split(
     df: DataFrame,
     id_col: str,

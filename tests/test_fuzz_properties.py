@@ -110,3 +110,69 @@ def _parses(line: str) -> bool:
         return True
     except Exception:
         return False
+
+
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=10_000),
+                  min_size=1, max_size=60),
+    seed=st.integers(min_value=0, max_value=999),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_packing_offsets_match_python_reference(spark, toks, seed):
+    """Two-level distributed prefix sum == the sequential reference:
+    sort (md5(id:seed), id), cumulate token counts — for arbitrary
+    token-count multisets and seeds (batched Spark fuzz)."""
+    import hashlib
+
+    from acxspark.operators.packing import with_global_offsets
+
+    rows = list(enumerate(toks))
+    df = spark.createDataFrame(rows, ["doc_id", "tok"])
+    got = {
+        r["doc_id"]: r["start_offset"]
+        for r in with_global_offsets(df, "tok", "doc_id", seed=seed).collect()
+    }
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(f"{r[0]}:{seed}".encode()).hexdigest(), r[0])
+    )
+    pos, want = 0, {}
+    for i, t in order:
+        want[i] = pos
+        pos += t
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=14),
+        min_size=1, max_size=12,
+    ),
+    bench=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=14),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_contamination_matches_python_reference(spark, docs, bench):
+    """Broadcast-semi-join flags == sequential 4-gram set overlap, for
+    arbitrary tiny-alphabet corpora (worst case for collisions /
+    shared boilerplate)."""
+    from acxspark.operators.decontaminate import (
+        benchmark_gram_set,
+        contaminated_doc_ids,
+    )
+
+    def grams(words):
+        return {" ".join(words[i:i + 4]) for i in range(len(words) - 3)}
+
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+    ddf = spark.createDataFrame(rows, ["doc_id", "text"])
+    bdf = spark.createDataFrame([(0, " ".join(bench))], ["doc_id", "text"])
+    got = sorted(
+        r["doc_id"]
+        for r in contaminated_doc_ids(
+            ddf, benchmark_gram_set(bdf, "text", 4), n=4, hashed=True
+        ).collect()
+    )
+    bg = grams(bench)
+    want = sorted(i for i, w in enumerate(docs) if grams(w) & bg)
+    assert got == want

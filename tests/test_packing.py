@@ -104,3 +104,24 @@ def test_split_stable_under_corpus_growth(spark):
     assert all(b[k] == v for k, v in s.items())
     frac = sum(1 for v in b.values() if v == "val") / len(b)
     assert 0.02 < frac < 0.25  # 10% target, small-N noise allowed
+
+
+def test_write_packed_shards_roundtrip(spark, tmp_path):
+    from acxspark.operators.packing import write_packed_shards
+
+    df = _corpus(spark, 300)
+    path = str(tmp_path / "packed")
+    write_packed_shards(df, path, "tok", "doc_id", budget=512, shards_per_file=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    # layout key is consistent with the assignment
+    for r in back.collect():
+        assert r["shard_file"] == r["shard_id"] // 8
+        assert r["shard_id"] == r["start_offset"] // 512
+    # the written assignment equals a fresh in-memory computation
+    want = sorted(
+        (r["doc_id"], r["start_offset"])
+        for r in pack_token_budget(df, "tok", "doc_id", 512).collect()
+    )
+    got = sorted((r["doc_id"], r["start_offset"]) for r in back.collect())
+    assert got == want
