@@ -49,3 +49,56 @@ def stratified_sample_exact(
         .filter(F.col("_rn2") <= n_per_stratum)
         .drop("_h", "_salt", "_rn1", "_rn2")
     )
+
+
+def quota_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    quota_df: DataFrame,
+    seed: int = 42,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Per-stratum exact-quota draw — :func:`stratified_sample_exact`
+    generalized from one constant n to a per-stratum quota table
+    ``(strata_col, quota)`` (small — one row per source/host/lang —
+    so it BROADCASTS into both tournament levels). Same two-level
+    skew defense, same determinism, same equivalence argument: each
+    level-1 bucket forwards its own top-``quota`` rows, which always
+    contains the stratum's global top-``quota``."""
+    q = F.broadcast(quota_df.select(strata_col, "quota"))
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    ).alias("_h")
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets))
+    w1 = Window.partitionBy(strata_col, "_salt").orderBy("_h", id_col)
+    w2 = Window.partitionBy(strata_col).orderBy("_h", id_col)
+    return (
+        df.join(q, strata_col)
+        .withColumn("_h", h)
+        .withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= F.col("quota"))
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= F.col("quota"))
+        .drop("_h", "_salt", "_rn1", "_rn2", "quota")
+    )
+
+
+def sqrt_cap_quotas(df: DataFrame, strata_col: str) -> DataFrame:
+    """Sub-linear mixing quotas: stratum contributes
+    ``max(1, floor(sqrt(count)))`` docs — the head-flattening
+    temperature move of pretraining data mixes (a 10^8-page domain
+    yields 10^4 docs, a 100-page domain 10). Integer-exact on both
+    engines (IEEE sqrt of an exact integer is correctly rounded, so
+    the floor cannot straddle an ULP): oracle-safe where a normalized
+    float-sum weighting would not be (cross-strata float sums are
+    order-dependent)."""
+    return (
+        df.groupBy(strata_col)
+        .agg(F.count("*").alias("_n"))
+        .select(
+            strata_col,
+            F.greatest(F.lit(1), F.floor(F.sqrt(F.col("_n")))).cast("int").alias("quota"),
+        )
+    )
