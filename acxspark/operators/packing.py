@@ -77,8 +77,14 @@ def with_global_offsets(
 
     # level 2: per-bucket totals → exclusive prefix over the (tiny,
     # 16^bucket_chars-row) bucket list → broadcast base offsets back
+    # explicit constant partition key: the bucket list MUST reduce on
+    # one task (it is the global prefix over <=16^k constant-size
+    # rows); lit(0) says so in the plan instead of tripping Spark's
+    # partition-less-window warning
     w_bkt = (
-        Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+        Window.partitionBy(F.lit(0))
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     bases = (
         t.groupBy("_bkt")

@@ -86,6 +86,27 @@ AUDITS = {
         "must": ["partial_max(struct", "hashpartitioning(canonical_url"],
         "forbid": ["Window", "SortMergeJoin", "ArrowEvalPython"],
     },
+    # packing: both window operators must carry a partition spec over
+    # the hash-prefix bucket — a partition-less Window is the
+    # one-reducer global cumsum the two-level formulation exists to
+    # avoid (the level-2 base-offset window also keys on _bkt)
+    "packed_shards_docs": {
+        "must": ["windowspecdefinition(_bkt", "BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
+    # decontamination: benchmark gram set broadcasts; the corpus
+    # explodes grams map-only into the semi-join — a SortMergeJoin
+    # here would shuffle every corpus 8-gram
+    "contamination_flags_docs": {
+        "must": ["BroadcastHashJoin", "LeftSemi"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
+    # quota mixing: the per-stratum quota table must broadcast into
+    # the tournament (it is one row per source)
+    "source_sqrt_quota_sample": {
+        "must": ["BroadcastHashJoin", "Window"],
+        "forbid": ["CartesianProduct"],
+    },
 }
 
 
