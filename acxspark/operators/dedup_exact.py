@@ -100,3 +100,39 @@ def or_key_components(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFr
         records.join(canon, "component")
         .select(F.col("u").alias(id_col), F.col("cluster_id"))
     )
+
+
+def keep_best(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Best-scoring survivor per duplicate group — the
+    quality-weighted alternative to first-wins (a crawl pipeline keeps
+    the BEST capture of a page, not the first seen; reference
+    semantics src/cli.cpp:289-308 keep-first, generalized).
+
+    One row per ``key_col``: highest ``score_col``, ties to the LOWEST
+    ``id_col`` (deterministic). Skew-safe argmax: a single
+    ``max(struct(score, -id))`` aggregation whose partial_max combines
+    MAP-SIDE — a 10^6-copy hot page forwards one candidate per
+    partition, where the window formulation (`row_number over
+    partitionBy(key)`) would move every copy to one reducer (same
+    device as dedup_by_canonical_url, functions/url.py)."""
+    pick = F.max(
+        F.struct(
+            F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+        )
+    ).alias("_pick")
+    return (
+        df.select(key_col, score_col, id_col)
+        .groupBy(key_col)
+        .agg(pick, F.count("*").alias("n_dups"))
+        .select(
+            key_col,
+            (-F.col("_pick.neg_id")).alias(id_col),
+            F.col("_pick.s").alias(score_col),
+            "n_dups",
+        )
+    )

@@ -81,3 +81,32 @@ def test_line_dedup_first_occurrence_across_corpus(spark):
     a = sorted(map(tuple, line_dedup(docs.repartition(1)).collect()))
     b = sorted(map(tuple, line_dedup(docs.repartition(7)).collect()))
     assert a == b
+
+
+def test_keep_best_argmax_and_ties(spark):
+    from acxspark.operators.dedup_exact import keep_best
+
+    rows = [
+        ("k1", 0.5, 10), ("k1", 0.9, 11), ("k1", 0.9, 12),  # tie -> lowest id
+        ("k2", 0.1, 20),
+        ("k3", 0.0, 31), ("k3", 0.0, 30),
+    ]
+    df = spark.createDataFrame(rows, ["key", "score", "doc_id"])
+    got = {
+        r["key"]: (r["doc_id"], r["score"], r["n_dups"])
+        for r in keep_best(df, "key", "score", "doc_id").collect()
+    }
+    assert got == {"k1": (11, 0.9, 3), "k2": (20, 0.1, 1), "k3": (30, 0.0, 2)}
+
+
+def test_keep_best_plan_is_mapside_argmax(spark):
+    """partial_max must appear BELOW the exchange (map-side combine);
+    no Window may appear at all — the window formulation puts every
+    copy of a hot key on one reducer."""
+    from acxspark.operators.dedup_exact import keep_best
+
+    df = spark.createDataFrame([("k", 0.1, 1)], ["key", "score", "doc_id"])
+    plan = keep_best(df, "key", "score", "doc_id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "partial_max" in plan.split("Exchange")[-1]
+    assert "Window" not in plan
