@@ -83,6 +83,68 @@ def _tokens(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda x: x != "")
 
 
+def rep_keep_col(
+    text: Column,
+    n: int = 2,
+    max_dup_frac: float = 0.3,
+    max_top_frac: float = 0.2,
+    min_grams: int = 20,
+) -> Column:
+    """The Gopher-style keep decision as ONE fold: the finish lambda
+    computes the boolean directly from (best, nd, cnt), so the gram
+    array appears exactly once in the expression tree. Column
+    expressions are trees, not DAGs — composing ``rep_keep`` out of
+    separate dup/top columns (each embedding its own copy of the
+    fold, as repetition_cols must to expose the stats individually)
+    duplicates the sorted fold and the gram construction; measured
+    1.7x slower on the 40k-doc gate (3.26 s vs 1.95 s, 8 cores).
+    Value-identical to repetition_cols()['rep_keep'] (same 6-decimal
+    rounding before the threshold comparison; pytest-asserted).
+    """
+    return F.aggregate(
+        F.array_sort(gram_hashes(_tokens(text), n)),
+        F.struct(
+            F.lit(None).cast("long").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("nd"),
+            F.lit(0).alias("cnt"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["nd"])
+            .otherwise(acc["nd"] + 1)
+            .alias("nd"),
+            (acc["cnt"] + 1).alias("cnt"),
+        ),
+        lambda acc: (acc["cnt"] < min_grams)
+        | (
+            # cnt >= min_grams >= 1 in this branch unless min_grams <= 0,
+            # so guard the divisions for that degenerate config
+            F.when(
+                acc["cnt"] > 0,
+                (
+                    F.round(
+                        1.0 - acc["nd"] / acc["cnt"].cast("double"), 6
+                    )
+                    <= max_dup_frac
+                )
+                & (
+                    F.round(acc["best"] / acc["cnt"].cast("double"), 6)
+                    <= max_top_frac
+                ),
+            ).otherwise(F.lit(True))
+        ),
+    )
+
+
 def repetition_cols(
     text: Column,
     n: int = 2,
@@ -94,9 +156,11 @@ def repetition_cols(
     a wider single-scan select (e.g. the webtext_clean_gate query):
     n_grams, dup_gram_frac, top_gram_frac, rep_keep. Callers that
     need several of these in ONE projection should prefer
-    ``repetition_stats`` (two-step select, fold evaluated once);
-    picking a single column — the common gate case, ``rep_keep`` —
-    embeds exactly one fold."""
+    ``repetition_stats`` (two-step select, fold evaluated once), and
+    callers that only want the gate decision should use
+    :func:`rep_keep_col` (single fold; the dict's ``rep_keep`` here
+    necessarily embeds the fold twice, once via dup and once via
+    top, because column expressions are trees)."""
     grams = gram_hashes(_tokens(text), n)
     total = F.size(grams)
     fold = _sorted_fold(grams)

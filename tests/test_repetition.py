@@ -63,3 +63,27 @@ def test_clean_gate_single_scan_no_shuffle(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert df.count() == 6
+
+
+def test_rep_keep_col_matches_stats(spark):
+    """Single-fold rep_keep_col == repetition_cols['rep_keep'] ==
+    repetition_stats.rep_keep across configs and edge cases (empty,
+    sub-min, exactly-min, all-dup, all-distinct)."""
+    from acxspark.functions.repetition import rep_keep_col, repetition_cols
+
+    rows = [(i, t) for i, t in enumerate([
+        "", "solo", "a b a b a b", "x y z w", "spam spam spam spam spam",
+        "a  b   a b", " ".join(f"t{j}" for j in range(50)),
+        " ".join(["loop one two"] * 30),
+        " ".join(f"w{j % 7}" for j in range(40)),
+    ])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for n, mg in [(2, 20), (2, 1), (3, 4), (2, 0)]:
+        got = df.select(
+            "doc_id",
+            rep_keep_col(F.col("text"), n=n, min_grams=mg).alias("fast"),
+            repetition_cols(F.col("text"), n=n, min_grams=mg)["rep_keep"]
+            .alias("ref"),
+        ).collect()
+        for r in got:
+            assert r["fast"] == r["ref"], (n, mg, r)

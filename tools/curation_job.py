@@ -29,7 +29,7 @@ from pyspark.sql import functions as F  # noqa: E402
 def main() -> None:
     data, cpus = sys.argv[1], int(sys.argv[2])
     from acxspark.functions import text as TX
-    from acxspark.functions.repetition import repetition_cols
+    from acxspark.functions.repetition import rep_keep_col
     from acxspark.functions.url import url_host
     from acxspark.operators.decontaminate import (
         benchmark_gram_set,
@@ -51,9 +51,7 @@ def main() -> None:
         TX.lang_id(F.col("text")).alias("lang_pred"),
         TX.quality_score(F.col("text")).alias("quality"),
         TX.token_count_ws(F.col("text")).cast("long").alias("tok_ws"),
-        repetition_cols(F.col("text"), n=2, min_grams=20)["rep_keep"].alias(
-            "rep_keep"
-        ),
+        rep_keep_col(F.col("text"), n=2, min_grams=20).alias("rep_keep"),
     ).filter(
         (F.col("lang_pred") != "und")
         & (F.col("quality") >= 0.3)
