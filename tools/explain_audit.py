@@ -107,6 +107,15 @@ AUDITS = {
         "must": ["BroadcastHashJoin", "Window"],
         "forbid": ["CartesianProduct"],
     },
+    # span dedup (ExactSubstr): first occurrences combine map-side
+    # (partial_min of the (id, pos) struct under the gram-hash
+    # groupBy) — a Window over the hot boilerplate gram key, or any
+    # Python worker, means the skew-safe formulation regressed
+    "span_dedup_docs": {
+        "must": ["partial_min(struct"],
+        "forbid": ["Window", "CartesianProduct", "ArrowEvalPython",
+                   "BatchEvalPython"],
+    },
 }
 
 
