@@ -13,7 +13,11 @@ input_hint):
   → simhash tier (fingerprint → Hamming-ball candidates)
   → verify       (exact Jaccard at τ + suffix-array containment)
   → cluster      (large-star/small-star CC, checkpointed)
-  → redact       (vectorized PII mask post-clustering)
+  → span dedup   (opt-in ExactSubstr pass on the survivors: shared
+                  token spans >= k stripped from all but their first
+                  occurrence — operators/spandedup.py)
+  → redact       (vectorized PII mask post-clustering, always last:
+                  masking rewrites tokens)
 
 Each stage is a pure DataFrame → DataFrame function; `run_pipeline`
 wires them with lineage counters (docs scanned, pairs emitted,
@@ -96,6 +100,7 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                  use_extract: bool = False,
                  redact: bool = False,
                  url_dedup: bool = False,
+                 span_dedup_k: int | None = None,
                  text_col: str = "text") -> PipelineResult:
     """With ``catalog`` set, the two expensive stage boundaries —
     ``signatures`` (the fused Arrow scan) and ``edges`` (all four
@@ -308,6 +313,30 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
         clusters.filter(F.col("url") == F.col("cluster_id")).select("url"),
         "url", "left_semi",
     )
+    if span_dedup_k:
+        # ExactSubstr pass (Lee et al. 2021) on the SURVIVORS only —
+        # the doc-level tiers above drop whole near-dup documents;
+        # this strips the residual shared spans (quoted boilerplate)
+        # between documents different enough to both survive. Runs on
+        # survivors (≤ half the corpus on real crawls, docs/SCALE.md)
+        # and BEFORE redact: masking rewrites tokens and would split
+        # genuinely shared spans.
+        from acxspark.operators.spandedup import span_dedup
+
+        cleaned = span_dedup(survivors, id_col="url",
+                             text_col=text_col, k=span_dedup_k)
+        survivors = lin.observe(
+            survivors.drop(text_col).join(
+                cleaned.select(
+                    "url", F.col("clean_text").alias(text_col),
+                    "n_removed",
+                ),
+                "url",
+            ),
+            "span_dedup",
+            rows=F.count(F.lit(1)),
+            tokens_removed=F.sum("n_removed"),
+        ).drop("n_removed")
     if redact:
         # post-clustering, never before: masking changes content hashes
         # and would split exact clusters (north_rule stage order)

@@ -76,6 +76,33 @@ def test_no_window_in_plan(spark):
     assert "Window" not in plan
 
 
+def test_pipeline_span_stage_strips_residual_shared_spans(spark):
+    # Two documents far below the Jaccard threshold (both survive the
+    # doc-level tiers) sharing one 8-token quote: with span_dedup_k=8
+    # the later survivor loses exactly the quote, the earlier keeps it.
+    import datetime
+
+    from acxspark.plans.pipeline import run_pipeline
+
+    quote = "to be or not to be that is"
+    fill_a = " ".join(f"alpha{i} beta{i}" for i in range(30))
+    fill_b = " ".join(f"gamma{i} delta{i}" for i in range(30))
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("a.example/1", ts, f"{fill_a} {quote}"),
+        ("b.example/2", ts, f"{quote} {fill_b}"),
+    ]
+    web = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    )
+    res = run_pipeline(web, span_dedup_k=8)
+    got = {r["url"]: r["text"] for r in res.survivors.collect()}
+    res.release()
+    assert len(got) == 2  # both survive the doc-level tiers
+    assert got["a.example/1"] == f"{fill_a} {quote}"  # first occurrence
+    assert got["b.example/2"] == fill_b               # quote stripped
+
+
 def test_removal_set_is_non_first_dup_occurrences(spark):
     got = {
         (r["doc_id"], r["pos"])

@@ -50,6 +50,10 @@ def main() -> None:
     ap.add_argument("--df-sample-mod", type=int, default=1,
                     help="estimate gram doc-frequency on the deterministic "
                          "1/MOD content-keyed sample (1 = exact count)")
+    ap.add_argument("--span-dedup-k", type=int, default=None,
+                    help="post-clustering ExactSubstr pass: strip token spans "
+                         ">= K shared between survivors (Lee et al. 2021; "
+                         "50 is the paper's floor; off by default)")
     args = ap.parse_args()
 
     from acxspark.catalog import ParquetSnapshotCatalog
@@ -72,6 +76,7 @@ def main() -> None:
         catalog=cat,
         use_extract=args.use_extract,
         redact=args.redact,
+        span_dedup_k=args.span_dedup_k,
         text_col=args.text_col,
     )
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
