@@ -1,0 +1,160 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+Graft curation tier (SURVEY §2.5): remove documents whose EMBEDDINGS
+are near-identical even when their token n-grams differ — templated
+rewrites, paraphrases, translations — the duplicate class the
+MinHash/SimHash/n-gram tiers are blind to by construction. Public
+recipe: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — k-means the
+embeddings, compute pairwise cosine WITHIN each cell, keep one
+representative per near-duplicate group. The reference's dedup loop
+is identity-key based (/root/reference/src/storage.cpp:562-570 OR-key
+transitive closure); this tier generalizes its "transitive dup ⇒ one
+survivor, deterministic keeper" contract to the embedding space.
+
+Two candidate paths, one clustering contract:
+
+- **exact** (default, the oracle path): all-pairs cosine via
+  :func:`acxspark.operators.ann.near_dup_pairs_blocked` — one BLAS
+  matmul per Arrow batch against the broadcast normalized corpus,
+  HARD-GUARDED above ``max_broadcast_rows``.
+- **IVF cells** (``n_centroids=k``, the 10^12-row scale path, and
+  SemDeDup's own semantics): deterministic Lloyd centroids
+  (:func:`ann.ivf_train_centroids`, content-keyed init — identical at
+  every parallelism level), map-only cell assignment (vectors never
+  shuffle), then pairwise cosine per cell via ``applyInPandas``. The
+  shuffle moves each vector ONCE (to its cell); compute is Σ c_i² so
+  ``n_centroids`` is the knob that prices it (k = n/1000 targets
+  ~10^6 sims/cell); the per-cell matmul is row-blocked so peak memory
+  is ``block_rows × |cell|`` sims regardless of cell size.
+
+Both paths feed the same large-star/small-star connected components
+(:func:`acxspark.operators.cc.cluster_assignments` — one scalar
+checksum per round crosses the driver) and the same deterministic
+keeper rule: min id per component survives. Cell-restricted recall
+vs the exact path is pytest-gated (tests/test_semdedup.py); pair
+precision is exact by construction (every emitted pair re-checks
+true cosine ≥ τ).
+"""
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from acxspark.operators.ann import (
+    ivf_assign,
+    ivf_train_centroids,
+    near_dup_pairs_blocked,
+)
+from acxspark.operators.cc import cluster_assignments
+
+__all__ = ["semantic_dedup", "within_cell_pairs"]
+
+
+def within_cell_pairs(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cluster",
+    threshold: float = 0.5,
+    sim_decimals: int = 4,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Pairwise cosine ≥ threshold restricted to rows sharing a cell.
+
+    One ``applyInPandas`` group per cell: normalize the cell matrix
+    once, then matmul row-blocks of it against the whole cell —
+    memory peaks at ``block_rows × |cell|`` float64 sims, so a hot
+    cell degrades to more blocks, never to an OOM. Output matches
+    :func:`ann.near_dup_pairs_blocked` (id_a < id_b, sim rounded to
+    ``sim_decimals``) minus cross-cell pairs — SemDeDup semantics.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", assigned.schema[id_col].dataType),
+            T.StructField("id_b", assigned.schema[id_col].dataType),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"sim": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        outs = []
+        for lo in range(0, n, block_rows):
+            hi = min(lo + block_rows, n)
+            sims = np.round(mat[lo:hi] @ mat.T, sim_decimals)
+            keep_r, keep_c = np.nonzero(sims >= threshold)
+            ia, ib = ids[keep_r + lo], ids[keep_c]
+            mask = ia < ib
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ia[mask],
+                        "id_b": ib[mask],
+                        "sim": sims[keep_r, keep_c][mask],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        assigned.select(cell_col, id_col, vec_col)
+        .groupBy(cell_col)
+        .applyInPandas(cell, schema=out_schema)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    n_centroids: int | None = None,
+    n_iter: int = 2,
+    seed: int = 42,
+    sim_decimals: int = 4,
+    **cc_kw,
+) -> DataFrame:
+    """→ (id_col, sem_cluster_id, is_survivor:int).
+
+    ``n_centroids=None`` runs the exact all-pairs path (true DuckDB
+    oracle twin exists — registry query ``semantic_dedup_docs``);
+    ``n_centroids=k`` runs the IVF-cell scale path (recall vs exact
+    pytest-gated, precision exact). ``sem_cluster_id`` is the min id
+    of the component under transitive cosine-≥-τ closure; singletons
+    are their own cluster. ``is_survivor`` = 1 on the keeper (the
+    min id), matching the reference's first-wins canonical contract
+    (src/cli.cpp:303).
+    """
+    if n_centroids:
+        cents = ivf_train_centroids(
+            corpus, id_col, vec_col,
+            n_centroids=n_centroids, n_iter=n_iter, seed=seed,
+        )
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        pairs = within_cell_pairs(
+            assigned, id_col, vec_col, "ivf_cluster",
+            threshold=threshold, sim_decimals=sim_decimals,
+        )
+    else:
+        pairs = near_dup_pairs_blocked(
+            corpus, id_col, vec_col,
+            threshold=threshold, sim_decimals=sim_decimals,
+        )
+    assign = cluster_assignments(
+        corpus.select(id_col), id_col, pairs.select("id_a", "id_b"), **cc_kw
+    )
+    return assign.select(
+        F.col(id_col),
+        F.col("cluster_id").alias("sem_cluster_id"),
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_survivor"),
+    )
