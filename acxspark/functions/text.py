@@ -144,3 +144,93 @@ def doc_fingerprint(col) -> Column:
     """Rolling-hash fingerprint of canonical text (content identity
     cheaper to compare than sha256 strings; used for exact-tier keys)."""
     return _fingerprint_udf(canonical_text(_c(col)))
+
+
+# Gopher rule battery (Rae et al. 2021, arXiv:2112.11446 §A1.1) — the
+# published document-level quality rules a web-scale training pipeline
+# applies before dedup. The paper's thresholds, kept verbatim; every
+# rule is a pure column expression with an exact DuckDB twin
+# (registry query `gopher_rules_docs`).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _substr_count(col: Column, sub: str) -> Column:
+    """Non-overlapping occurrences of ``sub`` — (len - len(replace))/len(sub),
+    replicable verbatim in SQL."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(sub), F.lit(""))))
+        / F.lit(len(sub))
+    ).cast("long")
+
+
+def gopher_rules(col, min_words: int = 50, max_words: int = 100_000) -> dict:
+    """Gopher quality rules → dict of named boolean Columns + ``keep``.
+
+    Rules (paper §A1.1; thresholds verbatim):
+    - ``r_wordcount``:   word count in [50, 100000]
+    - ``r_meanwl``:      mean word length in [3, 10]
+    - ``r_hash``:        '#' symbols per word ≤ 0.1
+    - ``r_ellipsis``:    '...'/'…' per word ≤ 0.1
+    - ``r_bullet``:      ≤ 90% of lines start with a bullet ('- ', '* ', '•')
+    - ``r_ellipsis_end``:≤ 30% of lines end with an ellipsis
+    - ``r_alpha``:       ≥ 80% of words contain an alphabetic char
+    - ``r_stop``:        ≥ 2 of the 8 Gopher stop words present
+    - ``keep``:          AND of all rules
+
+    Line rules run on the RAW text (canonicalization collapses
+    newlines); word rules on canonical tokens. Zero-shuffle: the whole
+    battery is one map-only projection.
+    """
+    raw = _c(col)
+    c = canonical_text(raw)
+    toks = F.filter(F.split(c, " "), lambda x: x != F.lit(""))
+    wc = F.size(toks).cast("double")
+    wcz = F.greatest(wc, F.lit(1.0))
+
+    r_wordcount = (wc >= min_words) & (wc <= max_words)
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    mean_wl = total_chars / wcz
+    r_meanwl = (mean_wl >= 3) & (mean_wl <= 10)
+
+    r_hash = (_substr_count(c, "#") / wcz) <= 0.1
+    n_ellipsis = _substr_count(c, "...") + _substr_count(c, "…")
+    r_ellipsis = (n_ellipsis / wcz) <= 0.1
+
+    lines = F.filter(F.split(raw, "\n"), lambda x: F.trim(x) != F.lit(""))
+    nl = F.greatest(F.size(lines).cast("double"), F.lit(1.0))
+    is_bullet = lambda x: (  # noqa: E731 — inline predicate, used once
+        (F.substring(F.ltrim(x), 1, 2) == "- ")
+        | (F.substring(F.ltrim(x), 1, 2) == "* ")
+        | (F.substring(F.ltrim(x), 1, 1) == "•")
+    )
+    r_bullet = (F.size(F.filter(lines, is_bullet)) / nl) <= 0.9
+    ends_ell = lambda x: F.rtrim(x).endswith(F.lit("...")) | F.rtrim(x).endswith(  # noqa: E731
+        F.lit("…")
+    )
+    r_ellipsis_end = (F.size(F.filter(lines, ends_ell)) / nl) <= 0.3
+
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double")
+    r_alpha = (alpha / wcz) >= 0.8
+
+    stop_present = sum(
+        F.when(_word_count(c, w) > 0, 1).otherwise(0) for w in GOPHER_STOPWORDS
+    )
+    r_stop = stop_present >= 2
+
+    rules = {
+        "r_wordcount": r_wordcount,
+        "r_meanwl": r_meanwl,
+        "r_hash": r_hash,
+        "r_ellipsis": r_ellipsis,
+        "r_bullet": r_bullet,
+        "r_ellipsis_end": r_ellipsis_end,
+        "r_alpha": r_alpha,
+        "r_stop": r_stop,
+    }
+    keep = None
+    for v in rules.values():
+        keep = v if keep is None else (keep & v)
+    rules["keep"] = keep
+    return rules
