@@ -83,6 +83,24 @@ def test_line_dedup_first_occurrence_across_corpus(spark):
     assert a == b
 
 
+def test_paragraph_dedup_via_sep(spark):
+    """RefinedWeb also dedups at PARAGRAPH granularity — same operator,
+    sep='\\n\\n': a repeated paragraph (even one containing single
+    newlines) survives only at its first occurrence."""
+    from acxspark.operators.linededup import line_dedup
+
+    para = "quoted\nboilerplate"  # inner \n must NOT split in para mode
+    docs = spark.createDataFrame(
+        [(1, f"intro one\n\n{para}\n\nbody one"),
+         (2, f"{para}\n\nbody two")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, sep="\n\n").collect()}
+    assert out[1]["clean_text"] == f"intro one\n\n{para}\n\nbody one"
+    assert out[2]["clean_text"] == "body two"
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1
+
+
 def test_keep_best_argmax_and_ties(spark):
     from acxspark.operators.dedup_exact import keep_best
 
