@@ -116,6 +116,37 @@ AUDITS = {
         "forbid": ["Window", "CartesianProduct", "ArrowEvalPython",
                    "BatchEvalPython"],
     },
+    # late round 3: Gopher battery and C4 rules are ZERO-shuffle
+    # map-only scans (higher-order array exprs; line rules over the
+    # raw split) — any Exchange or Python worker is a regression
+    "gopher_rules_docs": {
+        "must": ["Batched: true"],
+        "forbid": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
+    },
+    "c4_clean_docs": {
+        "must": ["Batched: true"],
+        "forbid": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
+    },
+    # LM scoring: the V-row model BROADCASTS into the token join — a
+    # SortMergeJoin here would shuffle every corpus token occurrence
+    "unigram_nll_docs": {
+        "must": ["BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "CartesianProduct",
+                   "ArrowEvalPython", "BatchEvalPython"],
+    },
+    "dsir_weights_docs": {
+        "must": ["BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "CartesianProduct",
+                   "ArrowEvalPython", "BatchEvalPython"],
+    },
+    # semantic dedup: the blocked-matmul pair stage runs BEFORE the CC
+    # localCheckpoint, so the final plan starts at a Scan ExistingRDD
+    # (checkpoint boundary) — audit the visible assembly: min-component
+    # agg + label join, and never a cartesian/nested-loop join
+    "semantic_dedup_docs": {
+        "must": ["Scan ExistingRDD", "HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 
