@@ -14,7 +14,10 @@ the host's single shared DRAM bus as the known ceiling (see
 BENCH/BASELINE.md "single-bus arithmetic").
 
 Usage: python tools/bench_curation.py [n_docs] [runs_per_level]
-(defaults 160000, 2)
+[ladder_csv] [out_name]  (defaults 160000, 2, 1,2,4,8,32,
+r3_curation.json — pass a new out_name whenever the JOB changes:
+the prior-merge best-of would otherwise mix checksums across chain
+versions and trip the determinism gate)
 """
 
 from __future__ import annotations
@@ -46,15 +49,19 @@ def run_level(data: str, cpus: int) -> dict:
 
 
 def main() -> None:
+    global LADDER
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 160000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    if len(sys.argv) > 3:
+        LADDER = tuple(int(x) for x in sys.argv[3].split(","))
+    out_name = sys.argv[4] if len(sys.argv) > 4 else "r3_curation.json"
 
     from tools.bench_scaling import ensure_corpus
 
     data = ensure_corpus(n_docs)
     best: dict[int, dict] = {}
     # merge with a prior pass if one exists (best-of-all-fresh-JVM-runs)
-    prior = REPO / "BENCH" / "r3_curation.json"
+    prior = REPO / "BENCH" / out_name
     if prior.exists():
         old = json.loads(prior.read_text())
         if old.get("n_docs") == n_docs:
@@ -82,15 +89,17 @@ def main() -> None:
         )
 
     out = {
-        "job": "curation chain (clean gate -> decontam -> quota sample -> packing)",
+        "job": "curation chain (clean+gopher gate -> LM band -> decontam -> quota sample -> packing)",
         "n_docs": n_docs,
         "runs_per_level": runs,
         "ladder": {str(c): best[c] for c in LADDER},
-        "eff": {"1_4": eff(1, 4), "2_8": eff(2, 8), "8_32": eff(8, 32)},
+        "eff": {f"{lo}_{hi}": eff(lo, hi)
+                for lo, hi in ((1, 4), (2, 8), (8, 32))
+                if lo in best and hi in best},
         "determinism": ref,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    (REPO / "BENCH" / "r3_curation.json").write_text(json.dumps(out, indent=2))
+    (REPO / "BENCH" / out_name).write_text(json.dumps(out, indent=2))
     print(json.dumps(out["eff"]))
 
 

@@ -3,11 +3,18 @@ tools/bench_curation.py (fresh JVM per level, same protocol as
 tools/scaling_job.py).
 
 Chain under test (the round-3 webtext curation tier, end to end):
-clean gate (lang + quality + token bounds + repetition, map-only)
+clean gate (lang + quality + token bounds + repetition + the Gopher
+  structural rules — symbol/ellipsis/bullet/alpha — all map-only)
+→ unigram-LM perplexity band (model trained on the gated survivors,
+  broadcast into the scoring join; CCNet-style keep-band on mean NLL)
 → decontamination flags (broadcast 8-gram semi-join)
 → sqrt-quota source mixing per host (two-level tournament)
 → token-budget packing (two-level prefix sum)
 finished by an aggregate action that cannot prune any stage.
+(The Gopher word-count/stop-word floors and the C4 terminal-punctuation
+rules are NOT in this chain: the synthetic corpus has no line/stopword
+structure, so they would zero it out — their cost shape is the same
+map-only scan as the rules that are included.)
 
 Usage: python tools/curation_job.py <parquet_dir> <cpus>
 Prints one JSON line {cpus, docs, kept, sampled, wall_s, docs_per_sec,
@@ -43,7 +50,11 @@ def main() -> None:
     docs = spark.read.parquet(data)
     n_docs = docs.count()
 
+    from acxspark.functions.text import gopher_rules
+    from acxspark.operators.lmfilter import score_unigram_nll, train_unigram_lm
+
     t0 = time.time()
+    g = gopher_rules(F.col("text"))
     gated = docs.select(
         "url",
         "text",
@@ -52,11 +63,14 @@ def main() -> None:
         TX.quality_score(F.col("text")).alias("quality"),
         TX.token_count_ws(F.col("text")).cast("long").alias("tok_ws"),
         rep_keep_col(F.col("text"), n=2, min_grams=20).alias("rep_keep"),
+        (g["r_hash"] & g["r_ellipsis"] & g["r_bullet"]
+         & g["r_ellipsis_end"] & g["r_alpha"]).alias("gopher_ok"),
     ).filter(
         (F.col("lang_pred") != "und")
         & (F.col("quality") >= 0.3)
         & F.col("tok_ws").between(5, 50000)
         & F.col("rep_keep")
+        & F.col("gopher_ok")
     )
 
     # the gate's regex/array expressions dominate the wall — persist
@@ -64,6 +78,21 @@ def main() -> None:
     # keep it; at 10^12 docs this is the Iceberg `cleaned` snapshot
     # the pipeline would commit between stages anyway)
     gated = gated.persist()
+
+    # unigram-LM perplexity band: model trained on the gated survivors
+    # (the clean-slice bootstrap a 100 TB run would do), broadcast into
+    # the scoring join; the band is generous — it prices the stage, the
+    # cut itself is corpus-dependent policy
+    # persist the V-row model: it is consumed twice downstream (the
+    # scorer's OOV-floor probe + the broadcast build) and would
+    # otherwise re-run the full token explode+groupBy each time — this
+    # is the "materialize the model once" the operator docstring
+    # prescribes, at job granularity
+    model = train_unigram_lm(gated, "text", vocab_size=50_000).persist()
+    nll = score_unigram_nll(gated, model, id_col="url", text_col="text")
+    gated = gated.join(
+        nll.filter(F.col("mean_nll") <= 12.0).select("url"), "url", "left_semi"
+    )
 
     # eval set: a deterministic ~1/997 slice of the corpus
     bench = docs.filter(F.pmod(F.xxhash64("url"), F.lit(997)) == 0)
