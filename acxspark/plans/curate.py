@@ -40,7 +40,45 @@ from acxspark.operators.lmfilter import score_unigram_nll, train_unigram_lm
 from acxspark.operators.packing import pack_token_budget
 from acxspark.operators.sampling import quota_sample_exact, sqrt_cap_quotas
 
-__all__ = ["CurationResult", "run_curation"]
+__all__ = ["CurationResult", "run_curation", "apply_clean_gate"]
+
+
+def apply_clean_gate(
+    docs: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    quality_min: float = 0.3,
+    tok_bounds: tuple[int, int] = (5, 50_000),
+    gopher_structural: bool = True,
+) -> DataFrame:
+    """The stage-1 clean gate as a standalone transform: lang-id +
+    composite quality + token bounds + repetition filter + Gopher
+    structural rules, one map-only projection + filter. STATELESS —
+    applies unchanged to a streaming DataFrame
+    (streaming/stream_ops.streaming_clean_gate is this function)."""
+    g = gopher_rules(F.col(text_col))
+    structural_ok = (
+        g["r_hash"] & g["r_ellipsis"] & g["r_bullet"]
+        & g["r_ellipsis_end"] & g["r_alpha"]
+        if gopher_structural
+        else F.lit(True)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        url_host(F.col(id_col)).alias("host"),
+        TX.lang_id(F.col(text_col)).alias("lang_pred"),
+        TX.quality_score(F.col(text_col)).alias("quality"),
+        TX.token_count_ws(F.col(text_col)).cast("long").alias("tok_ws"),
+        rep_keep_col(F.col(text_col), n=2, min_grams=20).alias("rep_keep"),
+        structural_ok.alias("gopher_ok"),
+    ).filter(
+        (F.col("lang_pred") != "und")
+        & (F.col("quality") >= quality_min)
+        & F.col("tok_ws").between(*tok_bounds)
+        & F.col("rep_keep")
+        & F.col("gopher_ok")
+    )
 
 
 @dataclass
@@ -81,31 +119,8 @@ def run_curation(
     lin = Lineage(lineage_path)
     persisted: list[DataFrame] = []
 
-    g = gopher_rules(F.col(text_col))
-    structural_ok = (
-        g["r_hash"] & g["r_ellipsis"] & g["r_bullet"]
-        & g["r_ellipsis_end"] & g["r_alpha"]
-        if gopher_structural
-        else F.lit(True)
-    )
-    gated = (
-        docs.select(
-            F.col(id_col),
-            F.col(text_col),
-            url_host(F.col(id_col)).alias("host"),
-            TX.lang_id(F.col(text_col)).alias("lang_pred"),
-            TX.quality_score(F.col(text_col)).alias("quality"),
-            TX.token_count_ws(F.col(text_col)).cast("long").alias("tok_ws"),
-            rep_keep_col(F.col(text_col), n=2, min_grams=20).alias("rep_keep"),
-            structural_ok.alias("gopher_ok"),
-        )
-        .filter(
-            (F.col("lang_pred") != "und")
-            & (F.col("quality") >= quality_min)
-            & F.col("tok_ws").between(*tok_bounds)
-            & F.col("rep_keep")
-            & F.col("gopher_ok")
-        )
+    gated = apply_clean_gate(
+        docs, id_col, text_col, quality_min, tok_bounds, gopher_structural
     )
     gated = lin.observe(gated, "clean_gate").persist()
     persisted.append(gated)

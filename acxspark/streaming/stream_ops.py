@@ -146,3 +146,26 @@ def streaming_near_dup_flags(
     return matches.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [url_col]
     )
+
+
+def streaming_clean_gate(
+    docs: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    quality_min: float = 0.3,
+    tok_bounds: tuple[int, int] = (5, 50_000),
+    gopher_structural: bool = True,
+) -> DataFrame:
+    """The curation clean gate (plans/curate.apply_clean_gate) on a
+    stream: lang-id + quality + token bounds + repetition + Gopher
+    structural rules. STATELESS pass-through projection — runs at
+    source rate with zero state, so the ingest side of the 100 TB
+    pipeline gates pages as they arrive and only survivors ever land
+    in the corpus table (the batch tiers then dedup a pre-cleaned
+    corpus). Exactly the batch expression — stream == batch is
+    test-asserted (test_streaming)."""
+    from acxspark.plans.curate import apply_clean_gate
+
+    return apply_clean_gate(
+        docs, id_col, text_col, quality_min, tok_bounds, gopher_structural
+    )

@@ -163,3 +163,38 @@ def test_streaming_near_dup_flags_vs_static_corpus(spark, tmp_path):
     got = {r["url"]: r["dup_of"] for r in rows}
     assert got == {"b1": "a1"}  # flagged once, right match, b2 absent
     assert all(r["jaccard"] >= 0.68 for r in rows)
+
+
+def test_streaming_clean_gate_matches_batch(spark, tmp_path):
+    """The curation gate is stateless: the streaming pass over the
+    same files yields exactly the batch survivor set + columns."""
+    from acxspark.plans.curate import apply_clean_gate
+
+    src = str(tmp_path / "pages")
+    good = "the quick brown fox jumps over a lazy dog near the barn gate"
+    rows = [(f"http://h{i}.ex/p{i}", f"{good} word{i} item{i}") for i in range(20)]
+    rows.append(("http://bad.ex/short", "tiny"))           # token floor
+    rows.append(("http://bad.ex/sym", "# # # # # # # #"))  # gopher r_hash/alpha
+    spark.createDataFrame(rows, "url string, text string").coalesce(
+        1
+    ).write.parquet(src)
+
+    batch = {
+        tuple(r)
+        for r in apply_clean_gate(spark.read.parquet(src)).collect()
+    }
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        S.streaming_clean_gate(stream)
+        .writeStream.format("memory")
+        .queryName("gate_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_gate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM gate_stream").collect()}
+    assert got == batch
+    assert len(got) == 20  # both bad pages gated out
