@@ -107,14 +107,24 @@ def score_unigram_nll(
         F.sum("m").alias("nll_milli_sum"),
     )
     # right join restores empty-token docs (score 0 over 0 tokens);
-    # coalesce BEFORE the mean, or the NULL propagates through round
+    # coalesce BEFORE the mean, or the NULL propagates through round.
+    # mean_nll_micro (micronats/token, BIGINT) is the ORACLE-exact
+    # mean: floor() of an IEEE double is engine-identical, whereas
+    # round(x, 4) tie-handling diverges between engines when the true
+    # mean lands exactly on a .00005 boundary (seen at sf0.1).
+    # mean_nll (nats/token, double) stays as the convenience column.
     nt = F.coalesce("n_tokens", F.lit(0))
     ms = F.coalesce("nll_milli_sum", F.lit(0))
+    ntz = F.greatest(nt, F.lit(1))
+    # multiply BEFORE dividing: 1000*sum is an exact integer double
+    # (< 2^53), so both engines floor the SAME quotient — the
+    # divide-then-multiply order loses a ulp and floors differently
     return per_doc.join(docs.select(id_col), id_col, "right").select(
         id_col,
         nt.alias("n_tokens"),
         ms.alias("nll_milli_sum"),
-        F.round(ms / F.greatest(nt, F.lit(1)) / 1000.0, 4).alias("mean_nll"),
+        F.floor(ms * 1000.0 / ntz).cast("long").alias("mean_nll_micro"),
+        (ms / ntz / 1000.0).alias("mean_nll"),
     )
 
 
@@ -180,9 +190,14 @@ def dsir_log_weights(
     )
     nt = F.coalesce("n_tokens", F.lit(0))
     ms = F.coalesce("logw_milli_sum", F.lit(0))
+    ntz = F.greatest(nt, F.lit(1))
+    # multiply before dividing (exact integer double), floor (not
+    # trunc: ONE well-defined answer incl. negatives) — see the
+    # sibling comment in score_unigram_nll
     return per_doc.join(docs.select(id_col), id_col, "right").select(
         id_col,
         nt.alias("n_tokens"),
         ms.alias("logw_milli_sum"),
-        F.round(ms / F.greatest(nt, F.lit(1)) / 1000.0, 4).alias("mean_logw"),
+        F.floor(ms * 1000.0 / ntz).cast("long").alias("mean_logw_micro"),
+        (ms / ntz / 1000.0).alias("mean_logw"),
     )

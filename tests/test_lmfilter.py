@@ -40,7 +40,8 @@ def test_top_v_cut_is_deterministic_and_oov_floors(spark):
     oov = _m(1 / 9)  # total+1
     assert scores[2]["n_tokens"] == 2
     assert scores[2]["nll_milli_sum"] == 2 * oov  # both c and d are OOV
-    assert scores[2]["mean_nll"] == round(oov / 1000.0, 4)
+    assert scores[2]["mean_nll"] == oov / 1000.0
+    assert scores[2]["mean_nll_micro"] == oov * 1000  # micronats/token
 
 
 def test_doc_scores_hand_computed(spark):
@@ -51,7 +52,8 @@ def test_doc_scores_hand_computed(spark):
     s = {r["doc_id"]: r for r in score_unigram_nll(docs, model).collect()}
     want = _m(4 / 8) + _m(3 / 8)
     assert s[2]["nll_milli_sum"] == want
-    assert s[2]["mean_nll"] == round(want / 2 / 1000.0, 4)
+    assert s[2]["mean_nll"] == want / 2 / 1000.0
+    assert s[2]["mean_nll_micro"] == int(1000 * want / 2)
     # ordinary doc (head tokens) scores lower than the c-containing one
     assert s[2]["mean_nll"] < s[1]["mean_nll"]
 
@@ -97,7 +99,7 @@ def test_dsir_hand_computed(spark):
     r = dsir_log_weights(probe, tm, cm).collect()[0]
     want = (_m(2 / 6) - _m(2 / 3)) + (_m(3 / 6) - _m(1 / 4))  # c OOV in target
     assert r["logw_milli_sum"] == want
-    assert r["mean_logw"] == round(want / 2 / 1000.0, 4)
+    assert r["mean_logw"] == want / 2 / 1000.0
 
 
 def test_dsir_ranks_target_like_docs_higher(spark):
