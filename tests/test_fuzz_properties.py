@@ -178,3 +178,72 @@ def test_contamination_matches_python_reference(spark, docs, bench):
     bg = grams(bench)
     want = sorted(i for i, w in enumerate(docs) if grams(w) & bg)
     assert got == want
+
+
+@given(lines=st.lists(_line, min_size=1, max_size=12))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_curation_gates_never_crash_and_invariants(spark, lines):
+    """Gopher battery + C4 rules + chunking on arbitrary text: never
+    raise, C4's kept lines are a subset of input lines in order, the
+    chunk tokens reconstruct the canonical token stream exactly."""
+    from acxspark.functions.c4rules import c4_clean_docs_df
+    from acxspark.functions.text import gopher_rules
+    from acxspark.operators.chunking import chunk_documents
+    from pyspark.sql import functions as F
+
+    text = "\n".join(lines)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    g = df.select(*[v.alias(k) for k, v in gopher_rules(F.col("text")).items()])
+    row = g.collect()[0]
+    assert all(isinstance(v, bool) for v in row.asDict().values())
+
+    c4 = c4_clean_docs_df(df).collect()[0]
+    assert 0 <= c4["n_kept"] <= c4["n_lines"]
+    if c4["n_kept"] > 0:
+        kept = c4["clean_text"].split("\n")
+        it = iter(text.split("\n"))
+        assert all(any(k == x for x in it) for k in kept)  # subsequence
+
+    chunks = sorted(
+        chunk_documents(df, max_tokens=7, overlap=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    import re
+    canon = [t for t in re.sub(r"\s+", " ", text.lower(),
+                               flags=re.ASCII).strip().split(" ") if t]
+    if not canon:
+        assert chunks == []
+    else:
+        out = list(chunks[0]["chunk_text"].split(" ")) if chunks else []
+        for r in chunks[1:]:
+            out.extend(r["chunk_text"].split(" ")[2:])
+        assert out == canon
+
+
+@given(texts=st.lists(_line, min_size=1, max_size=8))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lm_scores_nonnegative_and_token_exact(spark, texts):
+    """Unigram NLL on arbitrary corpora: scores are non-negative
+    (every probability <= 1), token counts match the canonical
+    tokenization, and the OOV floor bounds every in-vocab NLL above."""
+    from acxspark.operators.lmfilter import score_unigram_nll, train_unigram_lm
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    import re
+
+    model = train_unigram_lm(docs)
+    rows = score_unigram_nll(docs, model).collect()
+    for r in rows:
+        # Java/RE2 \s is ASCII-only — Python str.split() also eats
+        # \xa0 etc., so the reference tokenizer must pin re.ASCII
+        canon = re.sub(r"\s+", " ", texts[r["doc_id"]].lower(),
+                       flags=re.ASCII).strip()
+        want_tokens = len([x for x in canon.split(" ") if x])
+        assert r["n_tokens"] == want_tokens
+        assert r["nll_milli_sum"] >= 0
+        assert r["mean_nll"] >= 0.0
