@@ -250,12 +250,25 @@ def ivf_train_centroids(
 
         assigned = slim.select("_v").mapInPandas(assign, schema=assign_schema)
         # per-dimension mean via posexplode + two-level agg: the
-        # shuffle carries (cluster, dim, partial-sum) rows only
+        # shuffle carries (cluster, dim, partial-sum) rows only.
+        # The partial sums are FIXED-POINT LONGS (component × 2^22,
+        # components are in [-1,1] post-normalize): a float sum is
+        # order-dependent (partition layout / upstream shuffle order
+        # would leak into the centroids as last-ulp drift and flip
+        # borderline cell assignments), an integer sum is exact and
+        # order-free — determinism is structural, not empirical.
+        # Quantization 2^-22 ≈ 2.4e-7 is noise for a coarse quantizer
+        # (assignment margins ~1e-2); headroom: 2^22 × up to 2^40 rows
+        # per cluster < 2^63, and ANSI mode raises loudly on overflow.
+        Q = float(1 << 22)
         sums = (
             assigned.select("c", F.posexplode("_v").alias("d", "x"))
             .groupBy("c", "d")
-            .agg(F.sum(F.col("x").cast("double")).alias("s"),
-                 F.count("*").alias("n"))
+            .agg(
+                F.sum(F.round(F.col("x").cast("double") * Q).cast("long")
+                      ).alias("s"),
+                F.count("*").alias("n"),
+            )
             .collect()
         )
         new = cents.copy()
@@ -265,7 +278,7 @@ def ivf_train_centroids(
         for c, rows in by_c.items():
             v = np.zeros(cents.shape[1])
             for r in rows:
-                v[r["d"]] = r["s"] / r["n"]
+                v[r["d"]] = r["s"] / Q / r["n"]
             nrm = np.linalg.norm(v)
             if nrm > 1e-12:
                 new[c] = v / nrm

@@ -122,6 +122,7 @@ def semantic_dedup(
     n_iter: int = 2,
     seed: int = 42,
     sim_decimals: int = 4,
+    collapse_exact: bool = True,
     **cc_kw,
 ) -> DataFrame:
     """→ (id_col, sem_cluster_id, is_survivor:int).
@@ -134,25 +135,76 @@ def semantic_dedup(
     are their own cluster. ``is_survivor`` = 1 on the keeper (the
     min id), matching the reference's first-wins canonical contract
     (src/cli.cpp:303).
+
+    ``collapse_exact`` (default on) is the SKEW DEFENSE for the
+    quadratic stage: real crawls carry floods of byte-identical
+    embeddings (zero vectors from failed encoders, template pages) —
+    a 10⁶-copy flood in one IVF cell would cost 10¹² sims. Identical
+    vectors are collapsed to their min-id representative first (one
+    groupBy on the vector — the only time the vector is a shuffle
+    key, and it shuffles each vector once, same budget as the cell
+    assign), the duplicate→rep edges feed CC directly (cosine of
+    identical vectors is 1 ≥ any τ), and the matmul stages see each
+    distinct vector ONCE. Semantics are unchanged — only the
+    redundant pair work is removed. The remaining pathological case,
+    a flood of NEAR-identical-but-distinct vectors, is inherent to
+    SemDeDup's Σc² compute (``n_centroids`` prices it; ``block_rows``
+    bounds its memory).
     """
+    if collapse_exact:
+        # key = a 128-bit hash pair of the vector, NOT the raw array:
+        # the dedup groupBy and the dup→rep join then shuffle 16-byte
+        # keys + ids instead of full vectors (collision odds n²/2^128
+        # — nil at any scale). min(struct(id, vec)) partial-aggregates
+        # map-side, so a 10⁶-copy flood forwards ONE candidate row per
+        # partition, and each distinct vector rides the shuffle once.
+        k1 = F.xxhash64(F.col(vec_col))
+        k2 = F.xxhash64(F.col(vec_col), F.lit(1))
+        keyed = corpus.select(
+            F.col(id_col), F.col(vec_col),
+            k1.alias("_k1"), k2.alias("_k2"),
+        )
+        reps = keyed.groupBy("_k1", "_k2").agg(
+            F.min(F.struct(F.col(id_col), F.col(vec_col))).alias("_r")
+        )
+        exact_edges = (
+            keyed.select(id_col, "_k1", "_k2")
+            .join(
+                reps.select(
+                    "_k1", "_k2", F.col(f"_r.{id_col}").alias("_rep")
+                ),
+                ["_k1", "_k2"],
+            )
+            .filter(F.col(id_col) != F.col("_rep"))
+            .select(F.col(id_col).alias("id_a"), F.col("_rep").alias("id_b"))
+        )
+        work = reps.select(
+            F.col(f"_r.{id_col}").alias(id_col),
+            F.col(f"_r.{vec_col}").alias(vec_col),
+        )
+    else:
+        exact_edges = None
+        work = corpus.select(id_col, vec_col)
+
     if n_centroids:
         cents = ivf_train_centroids(
-            corpus, id_col, vec_col,
+            work, id_col, vec_col,
             n_centroids=n_centroids, n_iter=n_iter, seed=seed,
         )
-        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        assigned = ivf_assign(work, cents, id_col, vec_col)
         pairs = within_cell_pairs(
             assigned, id_col, vec_col, "ivf_cluster",
             threshold=threshold, sim_decimals=sim_decimals,
         )
     else:
         pairs = near_dup_pairs_blocked(
-            corpus, id_col, vec_col,
+            work, id_col, vec_col,
             threshold=threshold, sim_decimals=sim_decimals,
         )
-    assign = cluster_assignments(
-        corpus.select(id_col), id_col, pairs.select("id_a", "id_b"), **cc_kw
-    )
+    edges = pairs.select("id_a", "id_b")
+    if exact_edges is not None:
+        edges = edges.union(exact_edges)
+    assign = cluster_assignments(corpus.select(id_col), id_col, edges, **cc_kw)
     return assign.select(
         F.col(id_col),
         F.col("cluster_id").alias("sem_cluster_id"),

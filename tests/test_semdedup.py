@@ -130,3 +130,65 @@ def test_deterministic_across_parallelism(clustered):
         ).collect()
     }
     assert one == many
+
+
+def test_exact_dup_collapse_preserves_semantics(spark, clustered):
+    """A 100-copy identical-embedding flood: collapse on/off yield the
+    SAME clusters (identical vectors are sim-1.0 pairs either way),
+    and the flood lands in one cluster under its min id."""
+    df, _ = clustered
+    flood_vec = [float(x) for x in range(1, 33)]
+    flood = spark.createDataFrame(
+        [(10_000 + i, flood_vec) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = df.union(flood)
+    on = {
+        tuple(r)
+        for r in semantic_dedup(corpus, threshold=0.9, collapse_exact=True).collect()
+    }
+    off = {
+        tuple(r)
+        for r in semantic_dedup(corpus, threshold=0.9, collapse_exact=False).collect()
+    }
+    assert on == off
+    flood_rows = {r for r in on if r[0] >= 10_000}
+    assert all(c == 10_000 for _, c, _ in flood_rows)
+    assert {(i, s) for i, _, s in flood_rows} == (
+        {(10_000, 1)} | {(10_000 + i, 0) for i in range(1, 100)}
+    )
+
+
+def test_collapse_shrinks_the_quadratic_stage(spark, clustered):
+    """With the flood collapsed, the matmul stage sees each distinct
+    vector once: the rep-space pair set carries NO flood-internal
+    pairs (they enter CC as duplicate->rep edges instead)."""
+    df, _ = clustered
+    flood_vec = [float(x) for x in range(1, 33)]
+    flood = spark.createDataFrame(
+        [(10_000 + i, flood_vec) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = df.union(flood)
+    from pyspark.sql import functions as F
+
+    reps = corpus.groupBy("embedding").agg(F.min("vec_id").alias("r"))
+    assert reps.count() == df.count() + 1  # flood is ONE distinct vector
+
+
+def test_ivf_path_with_exact_dups_matches_exact_path(spark, clustered):
+    df, _ = clustered
+    flood_vec = [float(x) for x in range(1, 33)]
+    flood = spark.createDataFrame(
+        [(10_000 + i, flood_vec) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = df.union(flood)
+    exact = {
+        tuple(r) for r in semantic_dedup(corpus, threshold=0.9).collect()
+    }
+    ivf = {
+        tuple(r)
+        for r in semantic_dedup(corpus, threshold=0.9, n_centroids=8).collect()
+    }
+    assert ivf == exact
