@@ -58,6 +58,7 @@ def within_cell_pairs(
     threshold: float = 0.5,
     sim_decimals: int = 4,
     block_rows: int = 1024,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """Pairwise cosine ≥ threshold restricted to rows sharing a cell.
 
@@ -67,9 +68,44 @@ def within_cell_pairs(
     cell degrades to more blocks, never to an OOM. Output matches
     :func:`ann.near_dup_pairs_blocked` (id_a < id_b, sim rounded to
     ``sim_decimals``) minus cross-cell pairs — SemDeDup semantics.
+
+    ``max_cell_rows`` is the LAST-RESORT skew cap for a flood of
+    NEAR-identical-but-distinct vectors landing in one cell (exact
+    duplicates never get here — :func:`semantic_dedup` collapses them
+    first): oversized cells are subdivided by a deterministic id-hash
+    salt into ceil(n/max) subcells, bounding any group's compute at
+    ~max² sims. Pairs ACROSS subcells are lost — an explicit
+    recall-for-survival tradeoff, same posture as the MinHash/SimHash
+    hot-band caps; off by default (full SemDeDup semantics).
     """
     import pandas as pd
     from pyspark.sql import types as T
+
+    if max_cell_rows:
+        sizes = assigned.groupBy(cell_col).agg(F.count("*").alias("_n"))
+        assigned = (
+            assigned.join(F.broadcast(sizes), cell_col)  # k rows — tiny
+            .withColumn(
+                "_salt",
+                F.pmod(
+                    F.xxhash64(F.col(id_col)),
+                    F.ceil(F.col("_n") / F.lit(max_cell_rows)).cast("long"),
+                ).cast("int"),
+            )
+            .drop("_n")
+        )
+        # numeric combined key (no per-row string building — GC-hot
+        # at local[32]); xxhash64 over two ints cannot collide into a
+        # WRONG grouping semantically: a collision only merges two
+        # subcells, which can only ADD pairs the cap would have split
+        return within_cell_pairs(
+            assigned.withColumn(
+                "_cellsalt", F.xxhash64(F.col(cell_col), F.col("_salt"))
+            ),
+            id_col, vec_col, "_cellsalt",
+            threshold=threshold, sim_decimals=sim_decimals,
+            block_rows=block_rows, max_cell_rows=None,
+        )
 
     out_schema = T.StructType(
         [
@@ -123,6 +159,7 @@ def semantic_dedup(
     seed: int = 42,
     sim_decimals: int = 4,
     collapse_exact: bool = True,
+    max_cell_rows: int | None = None,
     **cc_kw,
 ) -> DataFrame:
     """→ (id_col, sem_cluster_id, is_survivor:int).
@@ -195,6 +232,7 @@ def semantic_dedup(
         pairs = within_cell_pairs(
             assigned, id_col, vec_col, "ivf_cluster",
             threshold=threshold, sim_decimals=sim_decimals,
+            max_cell_rows=max_cell_rows,
         )
     else:
         pairs = near_dup_pairs_blocked(

@@ -192,3 +192,34 @@ def test_ivf_path_with_exact_dups_matches_exact_path(spark, clustered):
         for r in semantic_dedup(corpus, threshold=0.9, n_centroids=8).collect()
     }
     assert ivf == exact
+
+
+def test_max_cell_rows_caps_and_is_subset(spark, clustered):
+    """Subdivided hot cells: capped pairs are a subset of uncapped,
+    within-subcell pairs survive, small cells are untouched (salt 0)."""
+    from acxspark.operators.ann import ivf_assign, ivf_train_centroids
+
+    df, _ = clustered
+    cents = ivf_train_centroids(df, n_centroids=4, n_iter=2, seed=42)
+    assigned = ivf_assign(df, cents).cache()
+    full = {
+        tuple(r)
+        for r in within_cell_pairs(assigned, threshold=0.9).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in within_cell_pairs(
+            assigned, threshold=0.9, max_cell_rows=25
+        ).collect()
+    }
+    assigned.unpersist()
+    assert capped <= full
+    assert len(capped) > 0  # planted pairs small enough to co-salt often
+    # a cap far above every cell size is a no-op
+    uncapped_hi = {
+        tuple(r)
+        for r in within_cell_pairs(
+            assigned, threshold=0.9, max_cell_rows=10_000
+        ).collect()
+    }
+    assert uncapped_hi == full
