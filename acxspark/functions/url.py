@@ -97,3 +97,24 @@ def dedup_by_canonical_url(pages: DataFrame, url_col: str = "url",
             "n_captures",
         )
     )
+
+
+def host_blocklist_filter(pages: DataFrame, blocked_hosts: DataFrame,
+                          url_col: str = "url") -> DataFrame:
+    """UT1/RefinedWeb-style domain blocklist — crawl stage 0: drop
+    every page whose host is on the list. The blocklist BROADCASTS
+    (public lists are 10^5-10^6 hosts ≈ a few MB) into a LEFT ANTI
+    join on the lowercased host, so the corpus never shuffles; at
+    10^12 pages this is a map-side probe per row.
+
+    ``blocked_hosts`` needs one ``host`` column; matching is on the
+    exact lowercased registered host (the caller expands wildcard
+    policies into concrete hosts — deterministic and auditable,
+    unlike suffix matching).
+    """
+    b = blocked_hosts.select(F.lower(F.col("host")).alias("_bh")).distinct()
+    return (
+        pages.withColumn("_h", url_host(F.col(url_col)))
+        .join(F.broadcast(b), F.col("_h") == F.col("_bh"), "left_anti")
+        .drop("_h")
+    )

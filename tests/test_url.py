@@ -115,3 +115,21 @@ def test_pipeline_url_dedup_stage0(spark):
     assert got_cl == clean_cl
     assert got.survivors.filter(F.col("text").startswith("STALE")).count() == 0
     clean.release(), got.release()
+
+
+def test_host_blocklist_filter(spark):
+    from acxspark.functions.url import host_blocklist_filter
+
+    pages = spark.createDataFrame(
+        [(1, "https://www.bad.example.com/x"),
+         (2, "HTTP://WWW.BAD.EXAMPLE.COM:80/y"),   # case + port still match
+         (3, "https://user@www.bad.example.com/z"),  # userinfo stripped
+         (4, "https://www.good.example.com/ok")],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame([("www.BAD.example.com",)], "host string")
+    out = host_blocklist_filter(pages, blocked)
+    assert [r["doc_id"] for r in out.collect()] == [4]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan

@@ -139,6 +139,12 @@ AUDITS = {
         "forbid": ["SortMergeJoin", "CartesianProduct",
                    "ArrowEvalPython", "BatchEvalPython"],
     },
+    # blocklist: broadcast anti-join on the host — the corpus never
+    # shuffles; a SortMergeJoin would move every page row
+    "host_blocklist_docs": {
+        "must": ["BroadcastHashJoin", "LeftAnti"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
     # semantic dedup: the blocked-matmul pair stage runs BEFORE the CC
     # localCheckpoint, so the final plan starts at a Scan ExistingRDD
     # (checkpoint boundary) — audit the visible assembly: min-component
