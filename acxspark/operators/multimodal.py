@@ -388,3 +388,80 @@ def sample_frames(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         gen, schema=out_schema
     )
+
+
+def encode_ppm_gray(width: int, height: int, values) -> bytes:
+    """Minimal P6 with R=G=B=values (row-major, len w*h) — the test /
+    synthesis inverse of :func:`image_ahash`'s decode path."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.uint8).reshape(height, width)
+    px = np.repeat(v[:, :, None], 3, axis=2)
+    return f"P6\n{width} {height}\n255\n".encode() + px.tobytes()
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash of P6 image payloads → (id, ahash:long).
+
+    The image near-duplicate key (public aHash recipe): decode,
+    integer grayscale ((r+g+b)//3), nearest-neighbor-sample a
+    grid×grid lattice (the same index map as :func:`resize_ppm`), set
+    bit (i·grid+j) when sample·grid² ≥ Σsamples — ALL INTEGER
+    arithmetic, so the hash is bit-identical across partitions, runs,
+    and engines (the registry oracle recomputes it in closed form
+    from the synthesis formula, pinning the full decode→hash path).
+    Near-dup images differ in few bits; feed the hashes to the
+    SimHash Hamming-ball machinery (operators/simhash.py) for the
+    pair stage. Undecodable payloads → NULL hash (poison-safe).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+    g2 = grid * grid
+
+    def one(p) -> int | None:
+        try:
+            meta, off = _ppm_header(p)
+            w, h = meta["width"], meta["height"]
+            if len(p) - off < w * h * 3 or w < 1 or h < 1:
+                return None
+            px = np.frombuffer(p, dtype=np.uint8, count=w * h * 3,
+                               offset=off).reshape(h, w, 3)
+            gray = px.astype(np.int64).sum(axis=2) // 3
+            ri = (np.arange(grid) * h) // grid
+            ci = (np.arange(grid) * w) // grid
+            vals = gray[ri][:, ci].ravel()  # row-major: pos = i*grid+j
+            total = int(vals.sum())
+            bits = (vals * g2 >= total).astype(np.uint64)
+            hash_u = np.uint64(0)
+            for pos in range(g2):
+                hash_u |= bits[pos] << np.uint64(pos)
+            return int(hash_u.astype(np.uint64).view(np.int64))
+        except Exception:
+            return None
+
+    def gen(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "ahash": pd.array(
+                        [one(p) if p is not None else None
+                         for p in b[payload_col]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=out_schema)

@@ -159,3 +159,58 @@ def test_resize_ppm_real_and_through_spark(spark):
             MM.resize_images(df, width=2, height=2, decode_stub=False).collect()}
     assert bytes(rows["ok"]["payload"]) == out
     assert rows["bad"]["payload"] is None  # poison → NULL, stage survives
+
+
+def test_image_ahash_hand_computed(spark):
+    from acxspark.operators.multimodal import encode_ppm_gray, image_ahash
+
+    # 8x8 image, left half dark (10), right half bright (200):
+    # mean = 105 -> bright bits set. pos = i*8+j, bright at j>=4.
+    vals = [[10] * 4 + [200] * 4 for _ in range(8)]
+    flat = [v for row in vals for v in row]
+    df = spark.createDataFrame(
+        [(1, encode_ppm_gray(8, 8, flat))], "media_id long, payload binary"
+    )
+    h = image_ahash(df).collect()[0]["ahash"]
+    import numpy as np
+
+    want = np.uint64(0)
+    for i in range(8):
+        for j in range(4, 8):
+            want |= np.uint64(1) << np.uint64(i * 8 + j)
+    assert h == int(want.view(np.int64))
+
+
+def test_image_ahash_near_dup_small_hamming(spark):
+    from acxspark.operators.multimodal import encode_ppm_gray, image_ahash
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, size=(32, 32))
+    tweak = base.copy()
+    tweak[:2, :2] = 255  # small corner edit
+    other = rng.integers(0, 256, size=(32, 32))
+    df = spark.createDataFrame(
+        [(1, encode_ppm_gray(32, 32, base.ravel())),
+         (2, encode_ppm_gray(32, 32, tweak.ravel())),
+         (3, encode_ppm_gray(32, 32, other.ravel()))],
+        "media_id long, payload binary",
+    )
+    h = {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    ham12 = bin((h[1] ^ h[2]) & (2**64 - 1)).count("1")
+    ham13 = bin((h[1] ^ h[3]) & (2**64 - 1)).count("1")
+    assert ham12 <= 6 < ham13
+
+
+def test_image_ahash_poison_payloads_null(spark):
+    from acxspark.operators.multimodal import encode_ppm_gray, image_ahash
+
+    df = spark.createDataFrame(
+        [(1, b"not a ppm"), (2, None), (3, b"P6\n4 4\n255\nshort"),
+         (4, encode_ppm_gray(4, 4, list(range(16))))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert got[1] is None and got[2] is None and got[3] is None
+    assert got[4] is not None
