@@ -56,13 +56,25 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def encode_wav_pcm16(sample_rate: int, n_frames: int, channels: int = 1) -> bytes:
-    """Minimal PCM-16 WAV encoder (silence payload) — the encode twin
-    of :func:`decode_wav_meta`. Total size = 44 + n_frames*2*channels
-    bytes; used by the ``media_wav_decode`` oracle query to roundtrip
-    REAL bytes against a closed-form arithmetic twin in DuckDB."""
+def encode_wav_pcm16(sample_rate: int, n_frames: int, channels: int = 1,
+                     samples=None) -> bytes:
+    """Minimal PCM-16 WAV encoder — the encode twin of
+    :func:`decode_wav_meta`. ``samples=None`` emits silence (the
+    original behavior; total size = 44 + n_frames*2*channels bytes);
+    pass an int16 array of length n_frames*channels for real audio
+    (interleaved little-endian). Used by the ``media_wav_decode`` and
+    ``audio_energy_hash_docs`` oracle queries to roundtrip REAL bytes
+    against closed-form arithmetic twins in DuckDB."""
+    import numpy as np
+
     block_align = channels * 2
-    data = bytes(n_frames * block_align)
+    if samples is None:
+        data = bytes(n_frames * block_align)
+    else:
+        arr = np.asarray(samples, dtype=np.int16)
+        if arr.size != n_frames * channels:
+            raise ValueError("samples length must be n_frames*channels")
+        data = arr.astype("<i2").tobytes()
     fmt = _struct.pack("<HHIIHH", 1, channels, sample_rate,
                        sample_rate * block_align, block_align, 16)
     body = (b"fmt " + _struct.pack("<I", len(fmt)) + fmt
@@ -457,6 +469,82 @@ def image_ahash(
                 {
                     id_col: b[id_col],
                     "ahash": pd.array(
+                        [one(p) if p is not None else None
+                         for p in b[payload_col]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=out_schema)
+
+
+def audio_energy_hash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    buckets: int = 64,
+) -> DataFrame:
+    """Acoustic fingerprint of PCM-16 WAV payloads → (id, ehash:long).
+
+    The audio near-duplicate key (energy-profile hash, the public
+    chromaprint-family recipe reduced to its integer core): parse the
+    REAL PCM block, split frames into ``buckets`` contiguous time
+    windows, sum |sample| per window (channel-interleaved samples all
+    count — energy is channel-agnostic), set bit b when
+    window_energy·buckets ≥ total_energy. ALL integer arithmetic —
+    bit-identical across partitions/engines; the registry oracle
+    recomputes the hash in closed form from the synthesis formula.
+    Trims/re-encodes shift few bits; Hamming-ball pair generation
+    reuses the SimHash tier machinery. Undecodable payloads → NULL.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("ehash", T.LongType()),
+        ]
+    )
+
+    def one(p) -> int | None:
+        try:
+            meta = decode_wav_meta(p)
+            # locate the data chunk again (decode_wav_meta validated it)
+            pos, data_off, data_size = 12, None, 0
+            while pos + 8 <= len(p):
+                cid = p[pos:pos + 4]
+                (sz,) = _struct.unpack("<I", p[pos + 4:pos + 8])
+                if cid == b"data":
+                    data_off, data_size = pos + 8, sz
+                    break
+                pos += 8 + sz + (sz & 1)
+            if data_off is None:
+                return None
+            n16 = min(data_size, len(p) - data_off) // 2
+            if n16 < 1:
+                return None
+            sm = np.frombuffer(p, dtype="<i2", count=n16, offset=data_off)
+            mag = np.abs(sm.astype(np.int64))
+            edges = (np.arange(buckets + 1) * n16) // buckets
+            csum = np.concatenate(([0], np.cumsum(mag)))
+            win = csum[edges[1:]] - csum[edges[:-1]]
+            total = int(csum[-1])
+            bits = (win * buckets >= total).astype(np.uint64)
+            h = np.uint64(0)
+            for b in range(buckets):
+                h |= bits[b] << np.uint64(b)
+            return int(h.view(np.int64))
+        except Exception:
+            return None
+
+    def gen(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "ehash": pd.array(
                         [one(p) if p is not None else None
                          for p in b[payload_col]],
                         dtype="Int64",

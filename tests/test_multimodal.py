@@ -214,3 +214,45 @@ def test_image_ahash_poison_payloads_null(spark):
     got = {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
     assert got[1] is None and got[2] is None and got[3] is None
     assert got[4] is not None
+
+
+def test_audio_energy_hash_hand_computed(spark):
+    from acxspark.operators.multimodal import audio_energy_hash, encode_wav_pcm16
+
+    import numpy as np
+
+    # 128 frames: first half silent, second half loud -> bits 32..63 set
+    s = np.concatenate([np.zeros(64), np.full(64, 1000)]).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, encode_wav_pcm16(8000, 128, 1, samples=s))],
+        "media_id long, payload binary",
+    )
+    h = audio_energy_hash(df).collect()[0]["ehash"]
+    want = np.uint64(0)
+    for b in range(32, 64):
+        want |= np.uint64(1) << np.uint64(b)
+    assert h == int(want.view(np.int64))
+
+
+def test_audio_energy_hash_near_dup_and_poison(spark):
+    from acxspark.operators.multimodal import audio_energy_hash, encode_wav_pcm16
+
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(-2000, 2000, size=512).astype(np.int16)
+    tweak = base.copy()
+    tweak[:8] = 0  # tiny edit at the head
+    other = rng.integers(-2000, 2000, size=512).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, encode_wav_pcm16(8000, 512, 1, samples=base)),
+         (2, encode_wav_pcm16(8000, 512, 1, samples=tweak)),
+         (3, encode_wav_pcm16(8000, 512, 1, samples=other)),
+         (4, b"not audio"), (5, None)],
+        "media_id long, payload binary",
+    )
+    h = {r["media_id"]: r["ehash"] for r in audio_energy_hash(df).collect()}
+    ham12 = bin((h[1] ^ h[2]) & (2**64 - 1)).count("1")
+    ham13 = bin((h[1] ^ h[3]) & (2**64 - 1)).count("1")
+    assert ham12 <= 6 < ham13
+    assert h[4] is None and h[5] is None
