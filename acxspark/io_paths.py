@@ -198,3 +198,65 @@ def export_roundtrip_ok(spark: SparkSession, df: DataFrame, tmp: str) -> bool:
     back = read_csv(spark, path)
     a, b = df.select(*CONTACT_COLUMNS), back.select(*CONTACT_COLUMNS)
     return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+# ---- bucketed point-lookup layout (reference DiskIndex parity) --------
+#
+# The reference keeps a sorted key→offset sidecar for O(log n) point
+# lookups without scanning the data file (src/disk_index.cpp:15-100).
+# The Spark-native analog is a LAYOUT, not a sidecar: hash-bucket the
+# table by the normalized key into partition directories and sort rows
+# by key within each bucket. A point lookup then
+#   1. constant-folds pmod(xxhash64(lit(key)), n_buckets) to the one
+#      bucket id → storage-level PARTITION PRUNING reads 1/n_buckets
+#      of the directories and zero bytes of the rest;
+#   2. hits parquet row-group min/max stats on the sorted key column
+#      inside that bucket → row-group pruning within the directory.
+# At 10^12 rows / 4096 buckets a lookup touches one directory's
+# footer + one row group — the same asymptotics as the reference's
+# binary search, distributed.
+
+LAYOUT_META = "_ACX_LAYOUT.json"
+
+
+def write_bucketed_by_key(
+    df: DataFrame, path: str, key_col: str, n_buckets: int = 256
+) -> None:
+    """Materialize ``df`` hash-bucketed by ``key_col`` (see module
+    note). Plain parquet + a layout sidecar — readable by any engine;
+    :func:`point_lookup_bucketed` uses the sidecar to rebuild the
+    pruning predicate."""
+    import json as _json
+    import os as _os
+
+    (
+        df.withColumn(
+            "key_bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+        )
+        .repartition("key_bucket")
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+        .partitionBy("key_bucket")
+        .parquet(path)
+    )
+    with open(_os.path.join(path, LAYOUT_META), "w") as f:
+        _json.dump({"key_col": key_col, "n_buckets": n_buckets}, f)
+
+
+def point_lookup_bucketed(spark: SparkSession, path: str, value) -> DataFrame:
+    """Rows whose layout key equals ``value``. The bucket predicate is
+    foldable (literal xxhash64), so Catalyst turns it into a partition
+    filter — .explain shows PartitionFilters: [(key_bucket = <b>)]."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, LAYOUT_META)) as f:
+        layout = _json.load(f)
+    df = spark.read.parquet(path)
+    return df.filter(
+        (
+            F.col("key_bucket")
+            == F.pmod(F.xxhash64(F.lit(value)), F.lit(layout["n_buckets"]))
+        )
+        & (F.col(layout["key_col"]) == F.lit(value))
+    ).drop("key_bucket")

@@ -87,12 +87,26 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.5,
     sim_decimals: int = 4,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with rounded cosine >= threshold.
 
     Brute-force O(n²) — the small-scale oracle baseline. The scale
     path is :func:`lsh_near_dup_pairs` (bucketed candidates first).
+
+    HARD-GUARDED like :func:`near_dup_pairs_blocked`: corpora above
+    ``max_rows`` (default 10^5 → 10^10 pair evaluations, the outer
+    edge of "oracle baseline") raise instead of silently launching a
+    quadratic scan. The probe is one id-column ``limit(cap+1)`` count
+    — no full count, no payload transfer.
     """
+    n_probe = corpus.select(id_col).limit(max_rows + 1).count()
+    if n_probe > max_rows:
+        raise ValueError(
+            f"near_dup_pairs is the brute-force O(n²) oracle baseline; corpus "
+            f"exceeds max_rows={max_rows}. Use near_dup_pairs_blocked (guarded "
+            f"matmul) or lsh_near_dup_pairs (bucketed scale path)."
+        )
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
@@ -381,8 +395,12 @@ def ivf_topk(
     # union of probed cells prunes the corpus scan up front (at scale,
     # with the table partitioned by ivf_cluster, this is partition
     # pruning — unprobed cells cost zero IO)
+    # .tolist() yields native Python values (int for integral ids,
+    # str for string ids) — createDataFrame then honors the declared
+    # id type verbatim; an int() cast here broke non-integral id_col
     probe_rows = [
-        (int(qid), int(c)) for qid, cs in zip(qpd["query_id"], probes)
+        (qid, int(c))
+        for qid, cs in zip(qpd["query_id"].tolist(), probes)
         for c in cs
     ]
     probe_df = spark.createDataFrame(

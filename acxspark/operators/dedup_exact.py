@@ -25,8 +25,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from acxspark.operators.cc import connected_components
+
+# id types where unary minus is a valid order-reversal (keep_best)
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
 
 
 def first_wins(df: DataFrame, key_col: str, seq_col: str) -> DataFrame:
@@ -114,25 +121,45 @@ def keep_best(
     semantics src/cli.cpp:289-308 keep-first, generalized).
 
     One row per ``key_col``: highest ``score_col``, ties to the LOWEST
-    ``id_col`` (deterministic). Skew-safe argmax: a single
-    ``max(struct(score, -id))`` aggregation whose partial_max combines
-    MAP-SIDE — a 10^6-copy hot page forwards one candidate per
-    partition, where the window formulation (`row_number over
+    ``id_col`` (deterministic). Skew-safe argmax: map-side-combinable
+    aggregations only — a 10^6-copy hot page forwards one candidate
+    per partition, where the window formulation (`row_number over
     partitionBy(key)`) would move every copy to one reducer (same
-    device as dedup_by_canonical_url, functions/url.py)."""
-    pick = F.max(
-        F.struct(
-            F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+    device as dedup_by_canonical_url, functions/url.py).
+
+    Two physical shapes, same semantics:
+      * numeric ``id_col`` → ONE ``max(struct(score, -id))`` agg
+        (negation reverses the id order inside the struct compare);
+      * any other id type (string urls, uuids) → unary minus on the id
+        is NULL/ANSI-error, so: agg-1 finds max score per key, then a
+        semi-filtering join + ``min(id)`` agg picks the lowest id among
+        the max-score ties. Two shuffles, both partial-combined.
+    """
+    id_type = df.schema[id_col].dataType
+    if isinstance(id_type, _NUMERIC_TYPES):
+        pick = F.max(
+            F.struct(
+                F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+            )
+        ).alias("_pick")
+        return (
+            df.select(key_col, score_col, id_col)
+            .groupBy(key_col)
+            .agg(pick, F.count("*").alias("n_dups"))
+            .select(
+                key_col,
+                (-F.col("_pick.neg_id")).alias(id_col),
+                F.col("_pick.s").alias(score_col),
+                "n_dups",
+            )
         )
-    ).alias("_pick")
+    slim = df.select(key_col, score_col, id_col)
+    best = slim.groupBy(key_col).agg(
+        F.max(score_col).alias(score_col), F.count("*").alias("n_dups")
+    )
     return (
-        df.select(key_col, score_col, id_col)
-        .groupBy(key_col)
-        .agg(pick, F.count("*").alias("n_dups"))
-        .select(
-            key_col,
-            (-F.col("_pick.neg_id")).alias(id_col),
-            F.col("_pick.s").alias(score_col),
-            "n_dups",
-        )
+        slim.join(best, [key_col, score_col])
+        .groupBy(key_col, score_col, "n_dups")
+        .agg(F.min(id_col).alias(id_col))
+        .select(key_col, id_col, score_col, "n_dups")
     )

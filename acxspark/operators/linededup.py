@@ -33,10 +33,17 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     Empty lines are preserved per-document (they carry layout, and
     corpus-wide deduping the empty string would strip every blank
     line after the corpus' first document).
+
+    ``sep`` is a LITERAL separator, not a regex: F.split takes a Java
+    regex, so the separator is \\Q..\\E-quoted (java.util.regex
+    Pattern.quote semantics, embedded \\E handled) — a caller passing
+    '|' or '.' gets literal splits, not per-character ones. Reassembly
+    (array_join) was always literal; both sides now agree.
     """
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), F.lit(quoted))).alias("pos", "line"),
     )
     firsts = (
         lines.filter(F.col("line") != "")

@@ -163,7 +163,11 @@ def run_curation(
         else survivors
     )
     packed = (
-        pack_token_budget(sampled, "tok_ws", id_col, budget=pack_budget, seed=42)
+        # derived, not raw: packing shouldn't shadow the sample's
+        # stream, but it MUST follow the chain's seed (a caller varying
+        # `seed` expects a different packing order, not a pinned one)
+        pack_token_budget(sampled, "tok_ws", id_col, budget=pack_budget,
+                          seed=seed * 2654435761 % (2**31))
         if pack_budget
         else None
     )

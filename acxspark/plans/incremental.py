@@ -197,11 +197,19 @@ def run_incremental(new_web: DataFrame, catalog,
     near_intra = exact_jaccard_edges(intra_cands, new_sigs, "url", cfg).select(
         "id_a", "id_b"
     )
+    # star edges (min-url ↔ member) via groupBy-min + join — the same
+    # linear-memory shape as pipeline.py's exact tier. The former
+    # collect_list/explode built the whole dup group as ONE array in a
+    # single aggregation buffer: a pathological increment (10^6 copies
+    # of one page in one batch) would materialize a 10^6-element array
+    # on one reducer. The join shape streams instead.
+    intra_min = new_hashed.groupBy("text_sha").agg(
+        F.min("url").alias("id_a"), F.count("*").alias("_n")
+    )
     intra_exact = (
-        new_hashed.groupBy("text_sha")
-        .agg(F.min("url").alias("id_a"), F.collect_list("url").alias("us"))
-        .select("id_a", F.explode("us").alias("id_b"))
-        .filter(F.col("id_a") != F.col("id_b"))
+        new_hashed.join(intra_min.filter(F.col("_n") > 1), "text_sha")
+        .filter(F.col("url") != F.col("id_a"))
+        .select("id_a", F.col("url").alias("id_b"))
     )
 
     # ---- frozen-base clustering ------------------------------------

@@ -166,6 +166,50 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
         if stamp else "cc_edges"
     )
 
+    def _survivor_tail(clusters: DataFrame) -> DataFrame:
+        """survivors → (opt-in) span dedup → (opt-in) redact.
+
+        Shared by the fresh path and the edge-snapshot resume path so a
+        resumed run applies IDENTICAL post-clustering stages — resume
+        must change where work restarts, never what it computes.
+        first-wins canonical: cluster_id IS the minimum url (cc.py), so
+        the survivor set is simply url == cluster_id."""
+        survivors = docs.join(
+            clusters.filter(F.col("url") == F.col("cluster_id")).select("url"),
+            "url", "left_semi",
+        )
+        if span_dedup_k:
+            # ExactSubstr pass (Lee et al. 2021) on the SURVIVORS only —
+            # the doc-level tiers above drop whole near-dup documents;
+            # this strips the residual shared spans (quoted boilerplate)
+            # between documents different enough to both survive. Runs on
+            # survivors (≤ half the corpus on real crawls, docs/SCALE.md)
+            # and BEFORE redact: masking rewrites tokens and would split
+            # genuinely shared spans.
+            from acxspark.operators.spandedup import span_dedup
+
+            cleaned = span_dedup(survivors, id_col="url",
+                                 text_col=text_col, k=span_dedup_k)
+            survivors = lin.observe(
+                survivors.drop(text_col).join(
+                    cleaned.select(
+                        "url", F.col("clean_text").alias(text_col),
+                        "n_removed",
+                    ),
+                    "url",
+                ),
+                "span_dedup",
+                rows=F.count(F.lit(1)),
+                tokens_removed=F.sum("n_removed"),
+            ).drop("n_removed")
+        if redact:
+            # post-clustering, never before: masking changes content
+            # hashes and would split exact clusters (north_rule order)
+            from acxspark.plans.redact import scrub_text
+
+            survivors = scrub_text(survivors, text_col)
+        return survivors
+
     if _fresh("edges"):
         # full candidate-tier resume: every tier's output is in the
         # committed edge snapshot — jump straight to clustering
@@ -178,17 +222,9 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
         catalog.write("clusters", clusters, meta=stamp)
         clusters = lin.observe(catalog.read(spark, "clusters"),
                                "clusters_assigned")
-        survivors = docs.join(
-            clusters.filter(F.col("url") == F.col("cluster_id")).select("url"),
-            "url", "left_semi",
-        )
-        if redact:
-            from acxspark.plans.redact import scrub_text
-
-            survivors = scrub_text(survivors, text_col)
         return PipelineResult(clusters=clusters, edges=edges,
-                              survivors=survivors, lineage=lin,
-                              caches=caches)
+                              survivors=_survivor_tail(clusters),
+                              lineage=lin, caches=caches)
 
     # ---- exact tier: content-hash edges url ↔ first-url --------------
     # star edges (min-url ↔ member), not cliques: linear in group size,
@@ -306,43 +342,6 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
         clusters = catalog.read(spark, "clusters")
     clusters = lin.observe(clusters, "clusters_assigned")
 
-    # ---- survivors + redact ------------------------------------------
-    # first-wins canonical: cluster_id IS the minimum url (cc.py), so
-    # the survivor set is simply url == cluster_id.
-    survivors = docs.join(
-        clusters.filter(F.col("url") == F.col("cluster_id")).select("url"),
-        "url", "left_semi",
-    )
-    if span_dedup_k:
-        # ExactSubstr pass (Lee et al. 2021) on the SURVIVORS only —
-        # the doc-level tiers above drop whole near-dup documents;
-        # this strips the residual shared spans (quoted boilerplate)
-        # between documents different enough to both survive. Runs on
-        # survivors (≤ half the corpus on real crawls, docs/SCALE.md)
-        # and BEFORE redact: masking rewrites tokens and would split
-        # genuinely shared spans.
-        from acxspark.operators.spandedup import span_dedup
-
-        cleaned = span_dedup(survivors, id_col="url",
-                             text_col=text_col, k=span_dedup_k)
-        survivors = lin.observe(
-            survivors.drop(text_col).join(
-                cleaned.select(
-                    "url", F.col("clean_text").alias(text_col),
-                    "n_removed",
-                ),
-                "url",
-            ),
-            "span_dedup",
-            rows=F.count(F.lit(1)),
-            tokens_removed=F.sum("n_removed"),
-        ).drop("n_removed")
-    if redact:
-        # post-clustering, never before: masking changes content hashes
-        # and would split exact clusters (north_rule stage order)
-        from acxspark.plans.redact import scrub_text
-
-        survivors = scrub_text(survivors, text_col)
-
     return PipelineResult(clusters=clusters, edges=edges,
-                          survivors=survivors, lineage=lin, caches=caches)
+                          survivors=_survivor_tail(clusters),
+                          lineage=lin, caches=caches)

@@ -10,6 +10,20 @@ Output: {"metric": "headline_suite_sec", "value": <total sec>,
          "dedup_docs_per_sec": <docs/sec>, "dedup_docs": N,
          "parallelism": P}
 
+Robust reporting (round-4): the host wall clock varies ±40% when
+another Spark JVM is resident (BENCH_r03 recorded a contended-host
+outlier that read as a 44% regression on unchanged code). Two
+defenses, both internal to this harness so any single capture is
+already robust:
+  * each query runs SPARK_GRAFT_BENCH_TRIALS times (default 3) and
+    the reported per-query time is the MIN across trials; the
+    headline value is the sum of per-query mins ("trials" carries
+    every raw sample for auditability);
+  * before starting, the harness scans /proc for other resident
+    Spark/Java JVMs and reports them under "contended_jvms" (stderr
+    warning + JSON flag — observable, not fatal, because the round
+    driver must always get its one JSON line back).
+
 Scaling-efficiency evidence (BASELINE.md gate) is produced by
 tools/bench_scaling.py, which runs THIS harness at two parallelism
 levels on the same input.
@@ -57,43 +71,79 @@ BENCH_QUERIES = [
 ]
 
 
+def _resident_spark_jvms() -> list[str]:
+    """Other Spark driver/executor JVMs on this host (contention
+    witnesses). Reads /proc directly — no external tools — and skips
+    our own pid tree (this process has not launched its JVM yet when
+    we scan, so any hit is a foreign job)."""
+    hits: list[str] = []
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\x00", b" ").decode("utf-8", "replace")
+            except OSError:
+                continue
+            if "org.apache.spark" in cmd and "java" in cmd:
+                hits.append(f"pid={pid} {cmd[:120]}")
+    except OSError:
+        pass
+    return hits
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    contended = _resident_spark_jvms()
+    if contended:
+        print(
+            f"WARNING: {len(contended)} other Spark JVM(s) resident — wall "
+            f"times will be inflated; min-of-{n_trials} still reported:\n  "
+            + "\n  ".join(contended),
+            file=sys.stderr,
+        )
+
     spark = get_spark("acxspark-bench", parallelism=cpus)
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = {}  # reported per-query MIN across trials
+    trials: dict[str, list[float]] = {}  # every raw sample, for audit
+
+    def record(name: str, sec: float) -> None:
+        trials.setdefault(name, []).append(round(sec, 3))
+        prev = timings.get(name)
+        timings[name] = round(sec if prev is None else min(prev, sec), 3)
 
     # headline: full near-dup pipeline over documents
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"), F.col("text")
     )
     n_docs = docs.count()
-    # two runs: the first pays JVM/worker warmup, the second is the
-    # steady state a long-running cluster job operates in; both are
-    # reported, throughput is computed from the steady state
-    dedup_sec = float("inf")
+    # trial 0 pays JVM/worker warmup; the min is the steady state a
+    # long-running cluster job operates in
     n_survivors = 0
-    for trial in range(2):
+    for _ in range(max(2, n_trials)):
         t0 = time.time()
         res = run_pipeline(docs, cfg=DedupConfig(), text_col="text")
         n_survivors = res.survivors.count()
-        el = time.time() - t0
-        timings[f"dedup_pipeline_t{trial}"] = round(el, 3)
-        dedup_sec = min(dedup_sec, el)
+        record("dedup_pipeline", time.time() - t0)
         spark.catalog.clearCache()
-    timings["dedup_pipeline"] = round(dedup_sec, 3)
+    dedup_sec = timings["dedup_pipeline"]
 
     from acxspark.operators.lsh import release_band_caches
 
     registry = Q.queries()
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        # count() forces full execution without driver-side collect cost
-        registry[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        release_band_caches()  # candidate-pair queries persist band rows
+    for _ in range(n_trials):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            # count() forces full execution without driver-side collect cost
+            registry[name](spark, sf_dir).count()
+            record(name, time.time() - t0)
+            release_band_caches()  # candidate-pair queries persist band rows
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -101,6 +151,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "trials": trials,
+        "n_trials": n_trials,
+        "contended_jvms": len(contended),
         "sf": sf,
         "dedup_docs": n_docs,
         "dedup_survivors": n_survivors,

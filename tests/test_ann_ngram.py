@@ -289,3 +289,27 @@ def test_ivf_partitioned_layout_prunes_partitions(vectors, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "ivf_cluster" in plan
+
+
+def test_near_dup_pairs_guard_raises_above_cap(vectors):
+    """The brute-force oracle baseline is hard-guarded (round-4): a
+    corpus above max_rows raises instead of launching an O(n²) scan."""
+    df, _ = vectors
+    with pytest.raises(ValueError, match="brute-force"):
+        ann.near_dup_pairs(df, threshold=0.9, max_rows=10).collect()
+
+
+def test_ivf_topk_string_ids(vectors):
+    """ivf_topk must honor a non-integral id column end-to-end (the
+    int() probe-row cast used to break string vec_ids)."""
+    df, _ = vectors
+    sdf = df.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    cents = ann.ivf_train_centroids(sdf, n_centroids=4, n_iter=2, seed=5)
+    queries = sdf.filter(F.col("vec_id").isin("doc-0", "doc-1"))
+    got = {(r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+           for r in ann.ivf_topk(sdf, queries, cents, k=1, n_probe=4).collect()}
+    exact = {(r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+             for r in ann.brute_force_topk(sdf, queries, "vec_id", k=1).collect()}
+    assert got == exact and len(got) == 2

@@ -151,3 +151,66 @@ def test_incremental_folds_new_batch_into_frozen_base(spark, tmp_path):
     inc.lineage.flush()
     for df in inc.caches + inc2.caches:
         df.unpersist()
+
+
+def test_resume_applies_span_dedup_tail(spark, tmp_path):
+    """A resumed run (fresh edge snapshot) must produce the SAME
+    survivor text as a fresh run with identical flags — the resume
+    branch used to skip the span_dedup_k stage entirely."""
+    from acxspark.catalog import ParquetSnapshotCatalog
+    from acxspark.config import DedupConfig
+    from acxspark.corpus import generate, to_spark
+    from acxspark.plans import pipeline as P
+
+    cat = ParquetSnapshotCatalog(tmp_path / "cat")
+    web, _, _ = to_spark(spark, generate(n_docs=60, seed=9))
+    web = web.cache()
+    res1 = P.run_pipeline(web, cfg=DedupConfig(), catalog=cat, span_dedup_k=8)
+    fresh = sorted((r["url"], r["text"]) for r in res1.survivors.collect())
+    res1.release()
+    assert cat.has("edges")
+
+    res2 = P.run_pipeline(web, cfg=DedupConfig(), catalog=cat, span_dedup_k=8)
+    resumed = sorted((r["url"], r["text"]) for r in res2.survivors.collect())
+    assert resumed == fresh
+    # the resumed run must have WIRED the span stage (its lineage
+    # observation exists and fired on the collect above)
+    assert "span_dedup" in res2.lineage.observations
+    assert res2.lineage.observations["span_dedup"].get["rows"] == len(resumed)
+    res2.release()
+
+
+def test_incremental_pathological_single_hash_batch(spark, tmp_path):
+    """10^5 copies of ONE page in a single increment: the intra-exact
+    tier must stream (star edges via groupBy-min + join), never build
+    the whole dup group as one array in a single aggregation buffer.
+    Plan-asserted (no ObjectHashAggregate/collect_list) AND executed
+    end-to-end: every copy lands in one first-wins cluster."""
+    from acxspark.catalog import ParquetSnapshotCatalog
+    from acxspark.config import DedupConfig
+    from acxspark.plans.incremental import run_incremental
+    from acxspark.plans.pipeline import run_pipeline
+    from pyspark.sql import functions as F
+
+    cat = ParquetSnapshotCatalog(tmp_path / "cat")
+    A = spark.createDataFrame(
+        [("a1", "seed corpus document totally unrelated " * 8)],
+        "url string, text string",
+    )
+    run_pipeline(A, cfg=DedupConfig(), catalog=cat).release()
+
+    hot = "hot boilerplate page served a hundred thousand times " * 6
+    B = spark.range(100_000).select(
+        F.concat(F.lit("b"), F.lpad(F.col("id").cast("string"), 7, "0"))
+        .alias("url"),
+        F.lit(hot).alias("text"),
+    )
+    inc = run_incremental(B, cat, cfg=DedupConfig())
+    plan = inc.assignments._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    agg = inc.assignments.groupBy("cluster_id").count().collect()
+    assert len(agg) == 1 and agg[0]["count"] == 100_000
+    assert agg[0]["cluster_id"] == "b0000000"  # first-wins within increment
+    inc.lineage.flush()
+    for df in inc.caches:
+        df.unpersist()

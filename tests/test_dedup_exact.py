@@ -128,3 +128,43 @@ def test_keep_best_plan_is_mapside_argmax(spark):
     ).executedPlan().toString()
     assert "partial_max" in plan.split("Exchange")[-1]
     assert "Window" not in plan
+
+
+def test_keep_best_string_ids_ties_to_lowest(spark):
+    """String ids take the two-stage agg path (unary minus on a string
+    id is NULL/ANSI-error); ties still break to the LOWEST id."""
+    from acxspark.operators.dedup_exact import keep_best
+
+    rows = [
+        ("k1", 0.5, "url-c"), ("k1", 0.9, "url-b"), ("k1", 0.9, "url-a"),
+        ("k2", 0.1, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["key", "score", "doc_id"])
+    got = {
+        r["key"]: (r["doc_id"], r["score"], r["n_dups"])
+        for r in keep_best(df, "key", "score", "doc_id").collect()
+    }
+    assert got == {"k1": ("url-a", 0.9, 3), "k2": ("solo", 0.1, 1)}
+
+
+def test_keep_best_string_path_no_window(spark):
+    from acxspark.operators.dedup_exact import keep_best
+
+    df = spark.createDataFrame([("k", 0.1, "a")], ["key", "score", "doc_id"])
+    plan = keep_best(df, "key", "score", "doc_id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max" in plan or "partial_min" in plan
+
+
+def test_line_dedup_regex_meaningful_separator(spark):
+    """sep is literal, not a Java regex: '|' must not split per-char."""
+    from acxspark.operators.linededup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha|beta"), (2, "beta|gamma")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, sep="|").collect()}
+    assert out[1]["clean_text"] == "alpha|beta"
+    assert out[2]["clean_text"] == "gamma"
+    assert out[1]["n_lines"] == 2 and out[2]["n_kept"] == 1

@@ -147,3 +147,31 @@ def test_naive_csv_scan_bug_compat(spark, tmp_path):
     # and the CORRECT parser disagrees on exactly the quoted row
     rfc = {r["id"]: r for r in IO.read_csv(spark, str(p), failfast=False).collect()}
     assert rfc["2"]["name"] == "Smith, John"
+
+
+def test_bucketed_layout_point_lookup_prunes_partitions(spark, tmp_path):
+    """write_bucketed_by_key + point_lookup_bucketed: correct rows AND
+    a physical plan whose PartitionFilters pin key_bucket — the scan
+    reads one bucket directory, not the table (DiskIndex parity)."""
+    from pyspark.sql import functions as F
+
+    from acxspark.io_paths import point_lookup_bucketed, write_bucketed_by_key
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("user"), F.col("id")).alias("email"),
+        (F.col("id") * 7).alias("payload"),
+    )
+    path = str(tmp_path / "bucketed")
+    write_bucketed_by_key(df, path, "email", n_buckets=16)
+
+    got = point_lookup_bucketed(spark, path, "user1234").collect()
+    assert [(r["email"], r["payload"]) for r in got] == [("user1234", 8638)]
+    assert point_lookup_bucketed(spark, path, "no-such-key").count() == 0
+
+    plan = point_lookup_bucketed(spark, path, "user1234")._jdf.queryExecution(
+    ).executedPlan().toString()
+    import re as _re
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "key_bucket" in m.group(1), plan
+    # the folded literal bucket appears (no runtime xxhash64 in the filter)
+    assert "xxhash64" not in m.group(1)
