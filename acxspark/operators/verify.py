@@ -1,5 +1,5 @@
-"""Candidate verification: exact Jaccard (JVM-side) + substring
-containment via per-group suffix arrays (applyInPandas).
+"""Candidate verification: exact Jaccard + substring containment,
+both whole-stage codegen by default.
 
 Stage 4 (north_rule: "per-partition suffix-array exact-substring
 verification"). Candidate pairs from LSH/SimHash are re-checked:
@@ -8,14 +8,18 @@ verification"). Candidate pairs from LSH/SimHash are re-checked:
   array_intersect/array_union — whole-stage codegen, no UDF; keeps
   pairs with J >= cfg.jaccard_threshold.
 - ``containment_edges``: detects page-inside-page duplication that
-  Jaccard misses when the outer page is much larger. Runs as
-  applyInPandas over bounded candidate groups; each group builds one
-  suffix array over the concatenated corpus and binary-searches the
-  shorter text (O((n+m) log n) per pair, never O(n*m)).
+  Jaccard misses when the outer page is much larger. Default (round
+  4): a codegen ``contains(outer, inner)`` filter behind a 64-char
+  prefix probe — zero Python, zero grouping shuffle
+  (BENCH/r4_containment.json A/Bs it against the Python path on the
+  640k bench corpus, identical edges). The python/suffix-array paths
+  remain as the parity twin: applyInPandas over bounded candidate
+  groups, optional per-group suffix array binary-searched per pair.
 
-Group-size guard: groups above ``max_group_docs`` are truncated by
-doc order — the generalization of the reference's 1 MiB record cap
-(reference src/storage.cpp:516) to group granularity (SURVEY §7.3.5).
+Group-size guard (python path only): groups above ``max_group_docs``
+are truncated by doc order — the generalization of the reference's
+1 MiB record cap (reference src/storage.cpp:516) to group granularity
+(SURVEY §7.3.5). The JVM path needs no cap: there are no groups.
 """
 
 from __future__ import annotations
@@ -102,23 +106,55 @@ def containment_edges(pairs: DataFrame, docs: DataFrame, id_col: str,
                       text_col: str = "text",
                       min_inner_chars: int = 64,
                       max_group_docs: int = 64,
-                      use_suffix_array: bool = False) -> DataFrame:
+                      use_suffix_array: bool = False,
+                      impl: str = "jvm") -> DataFrame:
     """Mark candidate pairs where one text contains the other.
 
-    Grouping key = id_a, so each group holds one left doc + all its
-    candidate partners. The substring probe defaults to CPython's
-    C-implemented two-way search (``inner in outer``) — at the 1 MiB
-    text cap a scan is ~1 ms, while the interpreted suffix-array build
-    it replaced cost minutes on the same text and could only win with
-    thousands of probes per haystack (impossible under the ≤64-doc
-    group cap). ``use_suffix_array=True`` keeps the SA path (same
-    output, tested) for environments with a C-speed SA builder.
+    Default ``impl='jvm'`` (round 4): the substring decision runs
+    ENTIRELY inside whole-stage codegen — Python ``inner in outer``
+    and JVM ``contains(outer, inner)`` are the same predicate (both
+    exact substring over code points; surrogate pairs can't half-match
+    because the needle is well-formed), so the applyInPandas stage the
+    JVM path replaces was pure overhead: at 100 TB the old shape was
+    ~10^8 Python group invocations ("hours on 4000 cores",
+    docs/SCALE.md); the new shape is a codegen filter on the pair
+    stream — zero Python, zero grouping shuffle, and no group-cap
+    truncation (the cap only ever existed to bound the Python groups).
+    A cheap probe (does inner's first-64-char prefix occur in outer?)
+    gates the full scan so a non-matching pair costs one short
+    ``locate``, and Java's naive indexOf can only degenerate on pairs
+    that already share a 64-char block.
+
+    ``impl='python'`` keeps the applyInPandas path (grouped by id_a,
+    head(max_group_docs) per group) — the parity twin for tests and
+    for adversarial corpora where CPython's two-way search beats
+    naive indexOf. ``use_suffix_array=True`` (implies the python
+    path) keeps the per-group suffix-array probe (north_rule names
+    it; same output, tested) for environments with a C-speed SA
+    builder.
     """
     d = docs.select(F.col(id_col), F.col(text_col))
     j = (
         pairs.join(d.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")), "id_a")
         .join(d.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")), "id_b")
     )
+
+    if impl == "jvm" and not use_suffix_array:
+        inner = F.when(
+            F.length("text_a") <= F.length("text_b"), F.col("text_a")
+        ).otherwise(F.col("text_b"))
+        outer = F.when(
+            F.length("text_a") <= F.length("text_b"), F.col("text_b")
+        ).otherwise(F.col("text_a"))
+        return (
+            j.select("id_a", "id_b", inner.alias("_in"), outer.alias("_out"))
+            .filter(F.length("_in") >= min_inner_chars)
+            # probe-then-scan: the 64-char prefix locate rejects the
+            # overwhelming share of non-containments at bounded cost
+            .filter(F.contains(F.col("_out"), F.substring(F.col("_in"), 1, 64)))
+            .filter(F.contains(F.col("_out"), F.col("_in")))
+            .select("id_a", "id_b")
+        )
 
     def check(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.head(max_group_docs)

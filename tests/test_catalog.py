@@ -214,3 +214,57 @@ def test_incremental_pathological_single_hash_batch(spark, tmp_path):
     inc.lineage.flush()
     for df in inc.caches:
         df.unpersist()
+
+
+def _iceberg_jar_present() -> bool:
+    import glob
+    import os
+
+    spark_home = os.environ.get("SPARK_HOME", "")
+    roots = [p for p in [spark_home and f"{spark_home}/jars"] if p]
+    try:
+        import pyspark
+
+        roots.append(f"{os.path.dirname(pyspark.__file__)}/jars")
+    except ImportError:
+        pass
+    return any(glob.glob(f"{r}/iceberg-spark-runtime*.jar") for r in roots)
+
+
+def test_iceberg_session_conf_wiring():
+    """The conf switch is pure data — assert the wiring that a cluster
+    deployment depends on, so it can't bit-rot silently."""
+    from acxspark.catalog import iceberg_session_conf
+
+    conf = iceberg_session_conf("s3://warehouse/path", catalog_name="acx")
+    assert conf["spark.sql.catalog.acx"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert conf["spark.sql.catalog.acx.warehouse"] == "s3://warehouse/path"
+    assert conf["spark.sql.catalog.acx.type"] == "hadoop"
+    assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _iceberg_jar_present(),
+    reason="iceberg-spark-runtime jar not on the classpath (offline sandbox)",
+)
+def test_iceberg_catalog_roundtrip(tmp_path):
+    """Full write/read/has/latest_meta + meta-stamp roundtrip against a
+    real Iceberg warehouse — runs wherever the runtime jar exists."""
+    from acxspark.catalog import IcebergSnapshotCatalog, iceberg_session_conf
+    from acxspark.session import get_spark
+
+    s = get_spark(
+        "iceberg-smoke",
+        parallelism=2,
+        extra_conf=iceberg_session_conf(str(tmp_path / "wh")),
+    )
+    cat = IcebergSnapshotCatalog(s, "acx", "t_smoke")
+    assert not cat.has("edges")
+    cat.write("edges", s.range(10), meta={"n_docs": 10, "config": "fp"})
+    assert cat.has("edges")
+    m = cat.latest_meta("edges")
+    assert m["n_docs"] == 10 and m["config"] == "fp"
+    assert cat.read(s, "edges").count() == 10

@@ -26,10 +26,13 @@ def result(spark, corpus):
     return res, clusters
 
 
-def test_containment_in_equals_suffix_array(spark, corpus):
-    """The default C-speed ``inner in outer`` probe must produce
-    exactly the suffix-array path's edges on the planted containment
-    fixtures (kind='contain') plus negatives."""
+def test_containment_jvm_python_sa_agree(spark, corpus):
+    """All three containment impls — the default codegen
+    contains() path, the applyInPandas ``inner in outer`` path, and
+    the per-group suffix-array path — must emit exactly the same
+    edges on the planted containment fixtures (kind='contain') plus
+    negatives; and the default path's physical plan must contain NO
+    Python stage (that's the whole point of it)."""
     from acxspark.operators.verify import containment_edges
 
     web, tp, _ = to_spark(spark, corpus)
@@ -44,12 +47,19 @@ def test_containment_in_equals_suffix_array(spark, corpus):
         [(a, b) for a, b in contain_truth + negatives], "id_a string, id_b string"
     )
     docs = web.select("url", "text")
-    fast = {(r["id_a"], r["id_b"]) for r in containment_edges(
-        cand, docs, "url", use_suffix_array=False).collect()}
+    jvm_df = containment_edges(cand, docs, "url")
+    jvm = {(r["id_a"], r["id_b"]) for r in jvm_df.collect()}
+    py = {(r["id_a"], r["id_b"]) for r in containment_edges(
+        cand, docs, "url", impl="python").collect()}
     sa = {(r["id_a"], r["id_b"]) for r in containment_edges(
-        cand, docs, "url", use_suffix_array=True).collect()}
-    assert fast == sa
-    assert set(contain_truth) <= fast  # planted pairs all detected
+        cand, docs, "url", impl="python", use_suffix_array=True).collect()}
+    assert jvm == py == sa
+    assert set(contain_truth) <= jvm  # planted pairs all detected
+
+    plan = jvm_df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython",
+                   "BatchEvalPython"):
+        assert marker not in plan, marker
 
 
 def test_recall_gate(result, corpus):
@@ -199,3 +209,44 @@ def test_dfcut_sampled_estimation_finds_hot_grams(spark):
     # boilerplate grams sit at df=1.0 — any sane sample finds them all
     assert set(exact) <= set(hot_1p) | set(exact)
     assert set(hot_1p) == set(exact)
+
+
+@pytest.mark.slow
+def test_recall_gate_sf01_scale(spark):
+    """The 0.99 recall gate at sf0.1-class corpus size (5000 docs —
+    the scale bench.py runs at). Pins the frozen DedupConfig's LSH
+    band/row budget AT SCALE: fixture-scale recall can pass while a
+    too-small band count starts missing pairs as the corpus (and hash
+    collision surface) grows 12×."""
+    big = generate(n_docs=5000, seed=1234)
+    web, tp, _ = to_spark(spark, big)
+    res = run_pipeline(web.repartition(16), cfg=DEFAULT_CONFIG)
+    clusters = {r["url"]: r["cluster_id"] for r in res.clusters.collect()}
+    pairs = list(zip(big.truth_pairs.url_a, big.truth_pairs.url_b))
+    hit = sum(clusters[a] == clusters[b] for a, b in pairs)
+    recall = hit / len(pairs)
+    res.release()
+    assert recall >= 0.99, f"sf0.1-scale recall={recall:.4f} over {len(pairs)}"
+
+
+@pytest.mark.slow
+def test_embedding_lsh_complete_at_sf01(spark):
+    """ann_lsh_near_dup's oracle promise, pinned by CI: 32 hyperplane
+    tables × 4 planes emit EXACTLY the brute-force cosine>=0.5 pair
+    set on the sf0.1 embeddings (2000 vecs). 8 tables measurably miss
+    borderline pairs at this scale — this test is what keeps the
+    table count from regressing to a fixture-tuned value."""
+    import os
+
+    from acxspark.operators import ann
+
+    path = "/root/testdata/sf0.1/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.1 testdata absent")
+    e = spark.read.parquet(path)
+    exact = {(r["id_a"], r["id_b"], r["sim"]) for r in ann.near_dup_pairs_blocked(
+        e, "vec_id", "embedding", threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"], r["sim"]) for r in ann.lsh_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.5, n_planes=4,
+        n_tables=32).collect()}
+    assert lsh == exact, (len(lsh), len(exact))
