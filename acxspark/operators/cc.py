@@ -65,17 +65,77 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _union_find_labels(pairs: list[tuple], spark, schema) -> DataFrame:
+    """Driver-side union-find over a SMALL edge list → (u, component)
+    with component = min id, bit-identical to the star-join fixpoint
+    (both are 'min id per component', a well-defined function of the
+    edge set — no order dependence)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    nodes = set()
+    for u, v in pairs:
+        nodes.add(u)
+        nodes.add(v)
+    for n in nodes:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    rows = [(n, comp_min[find(n)]) for n in sorted(nodes)]
+    # explicit broadcast: a createDataFrame result has unknown stats,
+    # so the downstream label join would otherwise plan as a
+    # SortMergeJoin (two exchanges) until AQE repairs it at runtime —
+    # the cap guarantees this table is broadcast-sized by construction
+    return F.broadcast(spark.createDataFrame(rows, schema))
+
+
 def connected_components(edges: DataFrame, max_iter: int = 50,
-                         catalog=None, table: str = "cc_edges") -> DataFrame:
+                         catalog=None, table: str = "cc_edges",
+                         small_graph_cap: int = 1_000_000) -> DataFrame:
     """edges(u, v) → labels(u, component) where component = min id.
 
     Ids may be any orderable type (string urls or long doc ids).
     Converges in O(log n) rounds; each round's output is checkpointed.
     With ``catalog`` set, every round commits a snapshot named
     ``{table}`` and resume starts from the last committed round.
+
+    Small-graph fast path (round 4): the star-join loop costs
+    O(log n) × 2 shuffles + one driver barrier per round — pure
+    scheduling overhead when the deduplicated edge set fits the
+    driver. Below ``small_graph_cap`` edges (and only when no catalog
+    demands per-round resume snapshots) the labels come from a
+    driver-side union-find instead: the SAME min-id-per-component
+    function of the edge set, returned as a broadcastable DataFrame.
+    The probe and the collect are one ``limit(cap+1)`` action (one
+    extra row proves overflow, near_dup_pairs_blocked's device); at
+    10^11-edge web scale the cap routes straight to the distributed
+    loop. Set ``small_graph_cap=0`` to force the distributed path.
     """
     e = edges.selectExpr(f"{edges.columns[0]} as u", f"{edges.columns[1]} as v")
     e = e.filter(F.col("u") != F.col("v")).distinct()
+
+    if catalog is None and small_graph_cap > 0:
+        probe = e.limit(small_graph_cap + 1).collect()
+        if len(probe) <= small_graph_cap:
+            schema = e.select(
+                F.col("u"), F.col("v").alias("component")
+            ).schema
+            return _union_find_labels(
+                [(r["u"], r["v"]) for r in probe], e.sparkSession, schema
+            )
+        del probe  # over cap: fall through to the distributed loop
 
     start_iter = 0
     if catalog is not None and catalog.has(table):

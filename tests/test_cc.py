@@ -63,9 +63,51 @@ def test_cc_nonconvergence_is_loud(spark):
     import pytest as _pytest
 
     edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    # small_graph_cap=0 pins the iterative star-join path — the r4
+    # union-find fast path has no rounds and always converges
     with _pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, small_graph_cap=0)
     # with room to certify, the same edges converge fine
     labels = {r["u"]: r["component"]
-              for r in connected_components(edges, max_iter=50).collect()}
+              for r in connected_components(
+                  edges, max_iter=50, small_graph_cap=0).collect()}
     assert labels == {1: 1, 2: 1, 3: 1}
+
+
+def test_small_graph_fast_path_equals_star_joins(spark):
+    """The driver union-find fast path must emit EXACTLY the star-join
+    loop's labels (min id per component) — checked on a random-ish
+    graph with chains, cliques, and singleton-free structure, for both
+    long and string id types."""
+    from acxspark.operators.cc import connected_components
+
+    pairs = (
+        [(i, i + 1) for i in range(0, 40, 2)]          # 20 two-chains
+        + [(100 + i, 100 + (i + 1) % 10) for i in range(10)]  # a 10-cycle
+        + [(200, 201), (201, 202), (202, 203), (203, 200)]    # a 4-cycle
+    )
+    e_long = spark.createDataFrame(pairs, "u long, v long")
+    fast = {(r["u"], r["component"]) for r in connected_components(e_long).collect()}
+    slow = {(r["u"], r["component"]) for r in connected_components(
+        e_long, small_graph_cap=0).collect()}
+    assert fast == slow and len(fast) > 0
+
+    e_str = spark.createDataFrame(
+        [(f"u{a:03d}", f"u{b:03d}") for a, b in pairs], "u string, v string"
+    )
+    fast_s = {(r["u"], r["component"]) for r in connected_components(e_str).collect()}
+    slow_s = {(r["u"], r["component"]) for r in connected_components(
+        e_str, small_graph_cap=0).collect()}
+    assert fast_s == slow_s
+
+
+def test_small_graph_cap_routes_to_distributed(spark):
+    """One edge over the cap must take the star-join loop (probe is
+    limit(cap+1), so cap+1 rows prove overflow)."""
+    from acxspark.operators.cc import connected_components
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(10)], "u long, v long")
+    out = connected_components(e, small_graph_cap=5)
+    # chain of 11 nodes -> one component labeled 0
+    got = {(r["u"], r["component"]) for r in out.collect()}
+    assert got == {(i, 0) for i in range(11)}

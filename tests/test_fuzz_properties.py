@@ -211,8 +211,10 @@ def test_curation_gates_never_crash_and_invariants(spark, lines):
         key=lambda r: r["chunk_id"],
     )
     import re
+    # .strip(" ") not .strip(): Python str.strip() eats \x1f/\xa0-class
+    # controls that Spark's trim (space-only) and ASCII \s keep
     canon = [t for t in re.sub(r"\s+", " ", text.lower(),
-                               flags=re.ASCII).strip().split(" ") if t]
+                               flags=re.ASCII).strip(" ").split(" ") if t]
     if not canon:
         assert chunks == []
     else:
@@ -242,7 +244,7 @@ def test_lm_scores_nonnegative_and_token_exact(spark, texts):
         # Java/RE2 \s is ASCII-only — Python str.split() also eats
         # \xa0 etc., so the reference tokenizer must pin re.ASCII
         canon = re.sub(r"\s+", " ", texts[r["doc_id"]].lower(),
-                       flags=re.ASCII).strip()
+                       flags=re.ASCII).strip(" ")
         want_tokens = len([x for x in canon.split(" ") if x])
         assert r["n_tokens"] == want_tokens
         assert r["nll_milli_sum"] >= 0

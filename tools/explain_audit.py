@@ -146,11 +146,14 @@ AUDITS = {
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
     # semantic dedup: the blocked-matmul pair stage runs BEFORE the CC
-    # localCheckpoint, so the final plan starts at a Scan ExistingRDD
-    # (checkpoint boundary) — audit the visible assembly: min-component
-    # agg + label join, and never a cartesian/nested-loop join
+    # at sf0.01 the edge set is under the CC small-graph cap, so the
+    # labels are a driver union-find result broadcast into the
+    # assignment join (round 4); above the cap the distributed
+    # star-join tail takes over (plan starts at the checkpoint
+    # boundary). Audit the fast-path shape here: a broadcast equi-join
+    # of the label table, never a cartesian/nested-loop join
     "semantic_dedup_docs": {
-        "must": ["Scan ExistingRDD", "HashAggregate"],
+        "must": ["BroadcastHashJoin"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
 }

@@ -45,11 +45,20 @@ def main() -> None:
     # actually operates in.
     wall = float("inf")
     n_survivors = 0
+    checksum = 0
     for _ in range(2):
         t0 = time.time()
         res = run_pipeline(docs, cfg=cfg, text_col="text")
         n_survivors = res.survivors.count()
         wall = min(wall, time.time() - t0)
+        # determinism witness (outside the timer): order-free xor of
+        # survivor url hashes — must be bit-identical at every
+        # parallelism level on the same input
+        checksum = int(
+            res.survivors.agg(
+                F.coalesce(F.bit_xor(F.xxhash64("url")), F.lit(0))
+            ).collect()[0][0]
+        )
         for (_, df) in list(vars(res).items()):
             if hasattr(df, "unpersist"):
                 df.unpersist()
@@ -61,6 +70,7 @@ def main() -> None:
                 "parallelism": cpus,
                 "docs": n_docs,
                 "survivors": n_survivors,
+                "survivor_checksum": checksum,
                 "wall_sec": round(wall, 2),
                 "docs_per_sec": round(n_docs / wall, 1),
             }
