@@ -70,6 +70,21 @@ BENCH_QUERIES = [
     "mask_phone_policy_q",
 ]
 
+# curation-tier operators (r3/r4): timed single-shot, reported under
+# "extended", never summed into the headline value
+EXTENDED_QUERIES = [
+    "span_dedup_docs",
+    "semantic_dedup_docs",
+    "line_dedup_docs",
+    "url_canonical_dedup",
+    "gopher_rules_docs",
+    "c4_clean_docs",
+    "unigram_nll_docs",
+    "contamination_flags_docs",
+    "packed_shards_docs",
+    "point_lookup_bucketed",
+]
+
 
 def _resident_spark_jvms() -> list[str]:
     """Other Spark driver/executor JVMs on this host (contention
@@ -145,12 +160,25 @@ def main() -> None:
             record(name, time.time() - t0)
             release_band_caches()  # candidate-pair queries persist band rows
 
+    # extended section: curation-tier operators, timed single-shot and
+    # NOT summed into the headline (keeps "value" comparable across
+    # rounds while giving the heavy r3/r4 tiers a per-round number)
+    extended: dict[str, float] = {}
+    for name in EXTENDED_QUERIES:
+        if name not in registry:
+            continue
+        t0 = time.time()
+        registry[name](spark, sf_dir).count()
+        extended[name] = round(time.time() - t0, 3)
+        release_band_caches()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
         "trials": trials,
         "n_trials": n_trials,
         "contended_jvms": len(contended),
