@@ -84,10 +84,14 @@ def run_level(data: str, cpus: int) -> dict:
 def main() -> None:
     n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # arg 3: artifact name — a NEW name starts a clean ladder (no
+    # best-of merging across code versions; cross-round minima would
+    # blur which code produced which wall)
+    out_name = sys.argv[3] if len(sys.argv) > 3 else "r3_semdedup.json"
 
     data = ensure_embeddings(n_vecs)
     best: dict[int, dict] = {}
-    prior = REPO / "BENCH" / "r3_semdedup.json"
+    prior = REPO / "BENCH" / out_name
     if prior.exists():
         old = json.loads(prior.read_text())
         if old.get("n_vecs") == n_vecs:
@@ -118,7 +122,7 @@ def main() -> None:
         "efficiency": effs,
         "deterministic": True,
     }
-    (REPO / "BENCH" / "r3_semdedup.json").write_text(json.dumps(out, indent=1))
+    (REPO / "BENCH" / out_name).write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
 
 
