@@ -183,3 +183,30 @@ def verify_backup(
             "n_files": len(actual),
         }
     return {"ok": True, "reason": "verified", "n_files": len(actual)}
+
+
+# ---- file-granular sign/verify (reference CLI parity) -----------------
+# `acx sign --file` / `acx verify --file --sig` / `acx verify-file
+# --file --sha256` (reference src/cli.cpp:78-100,821,957; hmac key from
+# ACX_HMAC_KEY). Driver-side by design: these operate on single local
+# files (configs, exports, manifests), not on distributed tables — the
+# table-granular analog is sign_backup/verify_backup above.
+
+
+def sign_file(path: str | Path, key: bytes | None = None) -> str:
+    """HMAC-SHA256 hex of a file's bytes under the key (env
+    ``ACX_HMAC_KEY`` when not passed — reference parity)."""
+    key = _env_key(key)
+    return _hmac.new(key, Path(path).read_bytes(), hashlib.sha256).hexdigest()
+
+
+def verify_file_hmac(path: str | Path, sig_hex: str,
+                     key: bytes | None = None) -> bool:
+    return _hmac.compare_digest(sign_file(path, key), sig_hex.strip().lower())
+
+
+def verify_file_sha256(path: str | Path, sha256_hex: str) -> bool:
+    return _hmac.compare_digest(
+        hashlib.sha256(Path(path).read_bytes()).hexdigest(),
+        sha256_hex.strip().lower(),
+    )

@@ -149,3 +149,35 @@ def test_backup_sign_verify_and_tamper(spark, tmp_path):
 
     with pytest.raises(FileExistsError):
         B.sign_backup(spark, cat, "contacts", tmp_path / "bak", key=key)
+
+
+def test_file_sign_verify_parity(tmp_path, monkeypatch):
+    """acx sign / verify / verify-file parity (src/cli.cpp:78-100):
+    HMAC roundtrip, env-key fallback, tamper and wrong-sig fail."""
+    import hashlib
+    import hmac as _hmac
+
+    from acxspark.functions import backup as B
+
+    f = tmp_path / "export.csv"
+    f.write_bytes(b"id,email\n1,a@example.com\n")
+    sig = B.sign_file(f, key=b"k1")
+    # matches an independent stdlib computation
+    assert sig == _hmac.new(b"k1", f.read_bytes(), hashlib.sha256).hexdigest()
+    assert B.verify_file_hmac(f, sig, key=b"k1")
+    assert B.verify_file_hmac(f, sig.upper(), key=b"k1")  # case-insensitive
+    assert not B.verify_file_hmac(f, sig, key=b"k2")
+    f.write_bytes(b"id,email\n1,b@example.com\n")
+    assert not B.verify_file_hmac(f, sig, key=b"k1")
+
+    sha = hashlib.sha256(f.read_bytes()).hexdigest()
+    assert B.verify_file_sha256(f, sha)
+    assert not B.verify_file_sha256(f, "00" * 32)
+
+    # env-key fallback (ACX_HMAC_KEY, reference parity)
+    monkeypatch.setenv("ACX_HMAC_KEY", "envkey")
+    assert B.verify_file_hmac(f, B.sign_file(f))
+    monkeypatch.delenv("ACX_HMAC_KEY")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no HMAC key"):
+        B.sign_file(f)
