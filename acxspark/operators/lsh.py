@@ -100,10 +100,24 @@ def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
     # (bands × corpus rows) runs three times. The handle lands in
     # ``caches`` (caller releases) or the module registry
     # (release_band_caches()) so repeated calls don't leak cache.
-    bk = track_cache(band_keys(df, id_col, sig_col, cfg).persist(), caches)
+    # band_idx is dropped before the persist (round 4): it exists only
+    # inside the band-key hash — carrying it through the cache and
+    # every shuffle paid 4-8 B × bands × corpus rows for nothing.
+    bk = track_cache(
+        band_keys(df, id_col, sig_col, cfg)
+        .select("band_key", id_col).persist(),
+        caches,
+    )
     # hot-band cap: window-free (two-pass agg is cheaper than a window
-    # over the skewed key at scale — partial agg combines map-side)
-    sizes = bk.groupBy("band_key").agg(F.count("*").alias("band_n"))
+    # over the skewed key at scale — partial agg combines map-side).
+    # sizes is persisted too (round 4): it feeds TWO independent
+    # broadcast subtrees (the over-cap anti-join and the hot-band
+    # semi/anti split below), each of which would otherwise re-run the
+    # full groupBy over the exploded rows.
+    sizes = track_cache(
+        bk.groupBy("band_key").agg(F.count("*").alias("band_n")).persist(),
+        caches,
+    )
     bk = bk.join(F.broadcast(sizes.filter(F.col("band_n") > cfg.max_band_size)),
                  "band_key", "left_anti")
 
@@ -175,4 +189,10 @@ def salted_self_join_pairs(bk: DataFrame, id_col: str, s: int) -> DataFrame:
         F.least("id_a", "id_b").alias("id_a"),
         F.greatest("id_a", "id_b").alias("id_b"),
     )
-    return within.unionByName(across).distinct()
+    # NO distinct here (round 4): within one band key each unordered
+    # pair is produced exactly once (the triangular construction
+    # above); duplicates only arise ACROSS band keys, and every caller
+    # (candidate_pairs, simhash, ann lsh) already applies a
+    # union-level distinct — the inner one was a redundant full
+    # shuffle of the hot-pair set.
+    return within.unionByName(across)
