@@ -562,7 +562,13 @@ def lsh_near_dup_pairs(
     # re-run per consumer. Registered for release via track_cache.
     keyed = track_cache(keyed.persist(), caches)
 
-    sizes = keyed.groupBy("band_key").agg(F.count("*").alias("band_n"))
+    # persisted (round 4): sizes feeds three independent consumers
+    # (cap anti-join broadcast, hot-bucket probe, hot-keys broadcast)
+    # — each would re-aggregate every cached band row otherwise
+    sizes = track_cache(
+        keyed.groupBy("band_key").agg(F.count("*").alias("band_n")).persist(),
+        caches,
+    )
     kc = keyed.join(
         F.broadcast(sizes.filter(F.col("band_n") > max_bucket)),
         "band_key", "left_anti",

@@ -166,7 +166,15 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
                 F.xxhash64(F.col("c.chunk_idx"), F.col("c.chunk_val")).alias("band_key"))
     ).persist()
     track_cache(keyed, caches)
-    sizes = keyed.groupBy("band_key").agg(F.count("*").alias("band_n"))
+    # persisted (round 4): sizes feeds up to four independent
+    # consumers (lineage counter, cap anti-join broadcast, hot probe,
+    # hot-keys broadcast) — each would re-run the groupBy over every
+    # cached chunk row otherwise. The table is tiny (one row per
+    # distinct bucket key).
+    sizes = track_cache(
+        keyed.groupBy("band_key").agg(F.count("*").alias("band_n")).persist(),
+        caches,
+    )
     if lineage is not None:
         # eager scalar counter over the tiny per-bucket agg (keyed is
         # persisted; this also warms the cache the probes below read):
