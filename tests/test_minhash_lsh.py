@@ -112,9 +112,11 @@ def test_simhash_hot_bucket_cap(spark):
     assert simhash_candidate_pairs(df, "url", cfg=cfg2).count() == 30 * 29 // 2
 
 
-def test_salted_pairs_equal_unsalted(spark):
-    """Salted band-key self-join (north_rule: salted band-key
-    repartitioning) must produce exactly the plain self-join's pairs."""
+def test_pair_strategies_identical(spark):
+    """All three pair-generation paths — plain self-join, salted
+    self-join (north_rule: salted band-key repartitioning), and the
+    round-4 groupBy-bucket default — must produce exactly the same
+    candidate set."""
     rows = []
     base = "the quick brown fox jumps over the lazy dog again and again extra words here"
     for i in range(40):
@@ -123,10 +125,30 @@ def test_salted_pairs_equal_unsalted(spark):
     cfg = DedupConfig(band_salt_buckets=4, max_band_size=40)  # hot_threshold=10 → the identical-doc bands go through the salted tier
     sigs = with_minhash(df, "text", cfg, keep_shingles=False)
     plain = {(r["id_a"], r["id_b"]) for r in
-             candidate_pairs(sigs, "url", "minhash", cfg, salted=False).collect()}
+             candidate_pairs(sigs, "url", "minhash", cfg, salted=False,
+                             strategy="join").collect()}
     salted = {(r["id_a"], r["id_b"]) for r in
-              candidate_pairs(sigs, "url", "minhash", cfg, salted=True).collect()}
-    assert plain == salted and len(plain) > 0
+              candidate_pairs(sigs, "url", "minhash", cfg, salted=True,
+                              strategy="join").collect()}
+    bucket = {(r["id_a"], r["id_b"]) for r in
+              candidate_pairs(sigs, "url", "minhash", cfg,
+                              strategy="bucket").collect()}
+    assert plain == salted == bucket and len(plain) > 0
+
+
+def test_bucket_pairs_respect_cap(spark):
+    """The bucket strategy drops over-cap bands BEFORE collect_list
+    (the memory guard): 30 identical docs with cap 10 ⇒ every band
+    capped ⇒ 0 pairs; cap 100 ⇒ the full 30·29/2."""
+    rows = [(f"u{i:02d}", "same words everywhere forever and ever amen again")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    sigs = with_minhash(df, "text", DedupConfig(), keep_shingles=False)
+    low = DedupConfig(max_band_size=10)
+    assert candidate_pairs(sigs, "url", "minhash", low, strategy="bucket").count() == 0
+    high = DedupConfig(max_band_size=100)
+    assert (candidate_pairs(sigs, "url", "minhash", high, strategy="bucket").count()
+            == 30 * 29 // 2)
 
 
 def test_simhash_cap_drop_counter_observable(spark):
