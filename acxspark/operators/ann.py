@@ -492,6 +492,7 @@ def lsh_near_dup_pairs(
     salt_buckets: int = 8,
     salted: bool = True,
     caches: list[DataFrame] | None = None,
+    strategy: str = "bucket",
 ) -> DataFrame:
     """Near-dup pairs via multi-table hyperplane LSH + exact re-check.
 
@@ -509,7 +510,13 @@ def lsh_near_dup_pairs(
        generation (a recall/scale tradeoff: a doc in a capped bucket
        can still meet its near-dups in the other ``n_tables - 1``
        tables — multi-table redundancy is the recall floor);
-    3. hot sub-cap buckets (> max_bucket/4) go through the salted
+    3. ``strategy="bucket"`` (default, mirrors lsh.candidate_pairs):
+       the capped buckets group by key, collect their member ids
+       (≤ max_bucket × 8 B per buffer — the cap anti-join runs FIRST,
+       and vectors stay OUT of the aggregation), and emit the
+       triangular pairs map-side — one pair-generation shuffle, no
+       probe job. ``strategy="join"``: the round-3 self-join, where
+       hot sub-cap buckets (> max_bucket/4) go through the salted
        self-join (:func:`acxspark.operators.lsh.salted_self_join_pairs`
        — output proven identical to the plain join), cold buckets join
        plain; AQE skew-split is the second line of defense;
@@ -518,16 +525,20 @@ def lsh_near_dup_pairs(
        bucket population stays ~constant as the corpus grows instead
        of detonating quadratically at a fixed 2^8 buckets.
 
-    With ``salted=True`` this function is NOT fully lazy: it persists
-    the exploded bucket rows and probes for hot buckets at call time
-    (same adaptive-engagement contract as simhash_candidate_pairs).
+    With ``strategy="join"`` and ``salted=True`` this function is NOT
+    fully lazy: it persists the exploded bucket rows and probes for hot
+    buckets at call time (same adaptive-engagement contract as
+    simhash_candidate_pairs).
     Recall is tested against :func:`near_dup_pairs` in pytest, and a
     precision query (every emitted pair's cosine >= threshold, pairs a
     subset of brute force) is oracle-checked — LSH is probabilistic by
     construction, so completeness has no SQL twin.
     """
-    from acxspark.operators.lsh import salted_self_join_pairs, track_cache
+    from acxspark.operators.lsh import (bucket_pairs, salted_self_join_pairs,
+                                        track_cache)
 
+    if strategy not in ("bucket", "join"):
+        raise ValueError(f"unknown pair strategy {strategy!r}")
     if dim is None:  # infer from one row (schema carries no length)
         row = corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).head()
         if row is None:
@@ -574,32 +585,35 @@ def lsh_near_dup_pairs(
         "band_key", "left_anti",
     )
 
-    hot_threshold = max(max_bucket // 4, 2 * salt_buckets)
-    hot_sizes = sizes.filter(
-        (F.col("band_n") > hot_threshold) & (F.col("band_n") <= max_bucket)
-    )
-    use_salted = (
-        salted and salt_buckets > 1 and hot_sizes.limit(1).count() > 0
-    )
-
-    def plain_pairs(rows: DataFrame) -> DataFrame:
-        a = rows.select("band_key", F.col(id_col).alias("id_a"))
-        b = rows.select("band_key", F.col(id_col).alias("id_b"))
-        return (
-            a.join(b, "band_key")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+    if strategy == "bucket":
+        cand = bucket_pairs(kc, id_col).distinct()
+    else:
+        hot_threshold = max(max_bucket // 4, 2 * salt_buckets)
+        hot_sizes = sizes.filter(
+            (F.col("band_n") > hot_threshold) & (F.col("band_n") <= max_bucket)
+        )
+        use_salted = (
+            salted and salt_buckets > 1 and hot_sizes.limit(1).count() > 0
         )
 
-    if use_salted:
-        hot_keys = F.broadcast(hot_sizes.select("band_key"))
-        hot = kc.join(hot_keys, "band_key", "left_semi")
-        cold = kc.join(hot_keys, "band_key", "left_anti")
-        cand = plain_pairs(cold).unionByName(
-            salted_self_join_pairs(hot, id_col, salt_buckets)
-        ).distinct()
-    else:
-        cand = plain_pairs(kc).distinct()
+        def plain_pairs(rows: DataFrame) -> DataFrame:
+            a = rows.select("band_key", F.col(id_col).alias("id_a"))
+            b = rows.select("band_key", F.col(id_col).alias("id_b"))
+            return (
+                a.join(b, "band_key")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+
+        if use_salted:
+            hot_keys = F.broadcast(hot_sizes.select("band_key"))
+            hot = kc.join(hot_keys, "band_key", "left_semi")
+            cold = kc.join(hot_keys, "band_key", "left_anti")
+            cand = plain_pairs(cold).unionByName(
+                salted_self_join_pairs(hot, id_col, salt_buckets)
+            ).distinct()
+        else:
+            cand = plain_pairs(kc).distinct()
 
     # exact re-check: vectors join the slim distinct id pairs — the
     # ONLY place embeddings move, and each id's vector moves once per

@@ -120,7 +120,8 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
                             cfg: DedupConfig = DEFAULT_CONFIG,
                             salted: bool = True,
                             caches: list[DataFrame] | None = None,
-                            lineage=None) -> DataFrame:
+                            lineage=None,
+                            strategy: str = "bucket") -> DataFrame:
     """Pairs within Hamming distance <= cfg.simhash_max_hamming.
 
     Exhaustive by pigeonhole (d < tables) UP TO the hot-bucket cap.
@@ -137,22 +138,25 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
        ``lineage`` (a :class:`acxspark.metrics.Lineage`) to record
        ``simhash_band_rows_total`` / ``simhash_band_rows_kept``
        counters so the drop volume is observable, not assumed;
-    3. hot sub-cap buckets (> cap/4) go through the salted self-join
+    3. ``strategy="bucket"`` (default, mirrors lsh.candidate_pairs):
+       the capped buckets are grouped by key, the (id, fingerprint)
+       structs collected (≤ cap × 16 B per buffer — the cap anti-join
+       runs FIRST), and pairs + exact Hamming emitted map-side with a
+       double explode — one shuffle total, the popcount filter runs
+       before any pair row crosses another wire, and no probe job is
+       needed (the bucket path is lazy unless ``lineage`` is passed);
+    4. ``strategy="join"`` keeps the round-3 self-join path: hot
+       sub-cap buckets (> cap/4) go through the salted self-join
        (:func:`acxspark.operators.lsh.salted_self_join_pairs` — output
-       proven identical to the plain join), cold buckets join plain;
-    4. surviving id pairs re-join the slim (id, simhash) frame and the
-       exact Hamming distance is verified JVM-side via bit_count.
-
-    The pair-generation shuffle carries only (band_key, id) longs —
-    fingerprints ride the final verification join, never the self-join.
-
-    NOT fully lazy: with ``salted=True`` this function runs Spark jobs
-    AT CALL TIME — it persists the exploded chunk rows and probes
-    ``hot_sizes.limit(1).count()`` to decide whether the salted arm is
-    worth planning — even if the returned DataFrame is never consumed.
-    Callers that only want the plan without jobs should pass
-    ``salted=False`` (plain equi-join, no probe, still capped).
+       proven identical to the plain join), cold buckets join plain,
+       and surviving id pairs re-join the slim (id, simhash) frame for
+       exact Hamming verification. Its pair-generation shuffle carries
+       only (band_key, id) longs. NOT fully lazy when ``salted=True``:
+       it probes ``hot_sizes.limit(1).count()`` at call time to decide
+       whether the salted arm is worth planning.
     """
+    if strategy not in ("bucket", "join"):
+        raise ValueError(f"unknown pair strategy {strategy!r}")
     from acxspark.operators.lsh import salted_self_join_pairs, track_cache
 
     sims = df.select(F.col(id_col), F.col(sim_col))
@@ -202,6 +206,24 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
         F.broadcast(sizes.filter(F.col("band_n") > cfg.max_chunk_bucket)),
         "band_key", "left_anti",
     )
+    if strategy == "bucket":
+        grouped = (
+            kc.groupBy("band_key")
+            .agg(F.collect_list(
+                F.struct(F.col(id_col).alias("id"),
+                         F.col(sim_col).alias("sim"))).alias("ms"))
+            .filter(F.size("ms") >= 2)
+        )
+        ham_b = hamming_distance(F.col("a.sim"), F.col("b.sim"))
+        return (
+            grouped.select(F.col("ms"), F.explode("ms").alias("a"))
+            .select(F.col("a"), F.explode("ms").alias("b"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .filter(ham_b <= cfg.simhash_max_hamming)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    ham_b.alias("hamming"))
+            .distinct()
+        )
     ham = hamming_distance(F.col("sim_a"), F.col("sim_b"))
 
     hot_threshold = max(cfg.max_chunk_bucket // 4, 2 * cfg.band_salt_buckets)

@@ -171,14 +171,21 @@ def test_lsh_salted_equals_plain(hot_vectors):
     kw = dict(threshold=0.9, n_planes=6, n_tables=4, dim=64, seed=3,
               max_bucket=200, salt_buckets=4)
     plain = {(r["id_a"], r["id_b"], r["sim"])
-             for r in ann.lsh_near_dup_pairs(df, salted=False, **kw).collect()}
+             for r in ann.lsh_near_dup_pairs(df, salted=False,
+                                             strategy="join", **kw).collect()}
+    bucket = {(r["id_a"], r["id_b"], r["sim"])
+              for r in ann.lsh_near_dup_pairs(df, strategy="bucket",
+                                              **kw).collect()}
+    assert bucket == plain  # groupBy-bucket path: identical output
     # hot cluster (24 rows) > hot_threshold max(200//4, 8) = 50? no —
     # shrink the cap so the hot bucket crosses the salting threshold
     kw["max_bucket"] = 60  # hot_threshold = max(15, 8) = 15 < 24
     salted = {(r["id_a"], r["id_b"], r["sim"])
-              for r in ann.lsh_near_dup_pairs(df, salted=True, **kw).collect()}
+              for r in ann.lsh_near_dup_pairs(df, salted=True,
+                                              strategy="join", **kw).collect()}
     plain_small_cap = {(r["id_a"], r["id_b"], r["sim"])
-                       for r in ann.lsh_near_dup_pairs(df, salted=False, **kw).collect()}
+                       for r in ann.lsh_near_dup_pairs(df, salted=False,
+                                                       strategy="join", **kw).collect()}
     assert salted == plain_small_cap  # salting never changes output
     assert salted == plain  # cap=60 never engages (hot bucket is 24)
     assert len(salted) > 0

@@ -92,10 +92,15 @@ def test_simhash_salted_equals_plain_on_hot_bucket(spark):
     df = with_simhash(spark.createDataFrame(rows, ["url", "text"]))
     cfg = DedupConfig(max_chunk_bucket=100, band_salt_buckets=4)
     plain = {(r["id_a"], r["id_b"], r["hamming"]) for r in
-             simhash_candidate_pairs(df, "url", cfg=cfg, salted=False).collect()}
+             simhash_candidate_pairs(df, "url", cfg=cfg, salted=False,
+                                     strategy="join").collect()}
     salted = {(r["id_a"], r["id_b"], r["hamming"]) for r in
-              simhash_candidate_pairs(df, "url", cfg=cfg, salted=True).collect()}
-    assert plain == salted and len(plain) >= 30 * 29 // 2
+              simhash_candidate_pairs(df, "url", cfg=cfg, salted=True,
+                                      strategy="join").collect()}
+    bucket = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+              simhash_candidate_pairs(df, "url", cfg=cfg,
+                                      strategy="bucket").collect()}
+    assert plain == salted == bucket and len(plain) >= 30 * 29 // 2
 
 
 def test_simhash_hot_bucket_cap(spark):
