@@ -534,8 +534,8 @@ def lsh_near_dup_pairs(
     subset of brute force) is oracle-checked — LSH is probabilistic by
     construction, so completeness has no SQL twin.
     """
-    from acxspark.operators.lsh import (bucket_pairs, salted_self_join_pairs,
-                                        track_cache)
+    from acxspark.operators.lsh import (bucket_pairs, huge_band_keys,
+                                        salted_self_join_pairs, track_cache)
 
     if strategy not in ("bucket", "join"):
         raise ValueError(f"unknown pair strategy {strategy!r}")
@@ -573,21 +573,27 @@ def lsh_near_dup_pairs(
     # re-run per consumer. Registered for release via track_cache.
     keyed = track_cache(keyed.persist(), caches)
 
-    # persisted (round 4): sizes feeds three independent consumers
-    # (cap anti-join broadcast, hot-bucket probe, hot-keys broadcast)
-    # — each would re-aggregate every cached band row otherwise
-    sizes = track_cache(
-        keyed.groupBy("band_key").agg(F.count("*").alias("band_n")).persist(),
-        caches,
-    )
-    kc = keyed.join(
-        F.broadcast(sizes.filter(F.col("band_n") > max_bucket)),
-        "band_key", "left_anti",
-    )
-
     if strategy == "bucket":
-        cand = bucket_pairs(kc, id_col).distinct()
+        # single full-volume shuffle (same design as lsh.candidate_pairs):
+        # sampled catastrophic-bucket pre-drop for the aggregation-buffer
+        # guard, exact cap enforced post-agg inside bucket_pairs
+        kc = keyed.join(
+            F.broadcast(huge_band_keys(keyed, max_bucket)),
+            "band_key", "left_anti",
+        )
+        cand = bucket_pairs(kc, id_col, cap=max_bucket).distinct()
     else:
+        # persisted (round 4): sizes feeds three independent consumers
+        # (cap anti-join broadcast, hot-bucket probe, hot-keys broadcast)
+        # — each would re-aggregate every cached band row otherwise
+        sizes = track_cache(
+            keyed.groupBy("band_key").agg(F.count("*").alias("band_n")).persist(),
+            caches,
+        )
+        kc = keyed.join(
+            F.broadcast(sizes.filter(F.col("band_n") > max_bucket)),
+            "band_key", "left_anti",
+        )
         hot_threshold = max(max_bucket // 4, 2 * salt_buckets)
         hot_sizes = sizes.filter(
             (F.col("band_n") > hot_threshold) & (F.col("band_n") <= max_bucket)

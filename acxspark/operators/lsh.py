@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 from acxspark.config import DEFAULT_CONFIG, DedupConfig
 
@@ -109,6 +110,25 @@ def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
     All three paths produce IDENTICAL pairs (tested)."""
     if strategy not in ("bucket", "join"):
         raise ValueError(f"unknown pair strategy {strategy!r}")
+    # STRING ids (urls ~40-80 B) would ride every band row through the
+    # pair-generation shuffle ``bands``× per doc. On the bucket path,
+    # hash them to 8-byte longs first and join the distinct pairs back
+    # to the originals at the end: band-shuffle bytes drop ~4× (the
+    # dominant byte mover of the whole pipeline), for two id-join
+    # shuffles over the (small) pair set + the (id, hash) projection.
+    # A 64-bit collision can only LOSE a pair when the two colliding
+    # urls are themselves a true dup pair (their hids compare equal and
+    # the triangular filter drops them) — P ≈ dup_pairs × 2⁻⁶⁴, ~5e-8
+    # expected losses at 10^12 docs — and can only ADD candidates
+    # otherwise (the join-back fans out), which the downstream exact
+    # verify filters.
+    hash_ids = strategy == "bucket" and isinstance(
+        df.schema[id_col].dataType, StringType)
+    if hash_ids:
+        key_col = "_acx_hid"
+        src = df.withColumn(key_col, F.xxhash64(F.col(id_col)))
+    else:
+        key_col, src = id_col, df
     # persisted: the exploded band rows feed BOTH the hot-band size agg
     # and the pair generation (both sides of the self-join under
     # strategy="join") — without the cache the explode (bands × corpus
@@ -119,26 +139,42 @@ def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
     # inside the band-key hash — carrying it through the cache and
     # every shuffle paid 4-8 B × bands × corpus rows for nothing.
     bk = track_cache(
-        band_keys(df, id_col, sig_col, cfg)
-        .select("band_key", id_col).persist(),
+        band_keys(src, key_col, sig_col, cfg)
+        .select("band_key", key_col).persist(),
         caches,
     )
-    # hot-band cap: window-free (two-pass agg is cheaper than a window
-    # over the skewed key at scale — partial agg combines map-side, so
-    # only ~one row per distinct band key crosses the wire). It also
-    # makes the bucket strategy's collect_list safe: a boilerplate band
-    # with 10^6 members at web scale is dropped BEFORE any aggregation
-    # would buffer it.
+    if strategy == "bucket":
+        # ONE full-volume shuffle total. Measured at 1.28M docs / 41M
+        # band rows: ~90% of band keys are singletons, so an exact
+        # pre-count (a second full-volume shuffle — the partial agg
+        # barely combines when nearly every key is distinct) costs as
+        # much as the collect itself and found 0 over-cap bands. The
+        # cap is enforced EXACTLY post-agg (size(ids) ≤ cap — identical
+        # output semantics); what the pre-count really bought was the
+        # aggregation-buffer memory guard, and a sampled pre-drop
+        # (:func:`huge_band_keys`) buys the same guard for 1% of the
+        # volume: any band big enough to threaten a buffer (≫ cap) is
+        # detected with near-certainty, and a missed marginal band
+        # buffers a few × cap × 8 B — harmless. Every pre-dropped band
+        # is (overwhelmingly) over cap, so the post-filter would have
+        # dropped it anyway — output is unchanged.
+        kc = bk.join(F.broadcast(huge_band_keys(bk, cfg.max_band_size)),
+                     "band_key", "left_anti")
+        pairs = bucket_pairs(kc, key_col, cap=cfg.max_band_size).distinct()
+        if hash_ids:
+            pairs = join_back_ids(pairs, df, id_col)
+        return pairs
+
+    # hot-band cap (join strategy): window-free two-pass agg — exact
+    # sizes feed the over-cap anti-join and the hot/cold salting split.
     sizes = bk.groupBy("band_key").agg(F.count("*").alias("band_n"))
-    if strategy == "join" and salted and cfg.band_salt_buckets > 1:
-        # under the join strategy sizes feeds TWO broadcast subtrees
-        # (over-cap anti-join + hot/cold split) — persist so the full
-        # groupBy over the exploded rows runs once
+    if salted and cfg.band_salt_buckets > 1:
+        # sizes feeds TWO broadcast subtrees (over-cap anti-join +
+        # hot/cold split) — persist so the full groupBy over the
+        # exploded rows runs once
         sizes = track_cache(sizes.persist(), caches)
     bk = bk.join(F.broadcast(sizes.filter(F.col("band_n") > cfg.max_band_size)),
                  "band_key", "left_anti")
-    if strategy == "bucket":
-        return bucket_pairs(bk, id_col).distinct()
 
     def plain_pairs(rows: DataFrame) -> DataFrame:
         a = rows.select(F.col("band_key"), F.col(id_col).alias("id_a"))
@@ -173,22 +209,75 @@ def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
     return plain_pairs(bk).distinct()
 
 
-def bucket_pairs(rows: DataFrame, id_col: str) -> DataFrame:
+def join_back_ids(pairs: DataFrame, df: DataFrame, id_col: str,
+                  extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Resolve (id_a, id_b) pairs of xxhash64(id) longs back to the
+    original string ids via two equi-joins against the (hash, id)
+    projection of ``df``, re-normalizing the pair orientation (hash
+    order ≠ string order). ``extra_cols`` are carried through
+    untouched (e.g. a precomputed hamming/sim column)."""
+    d = df.select(F.xxhash64(F.col(id_col)).alias("_h"),
+                  F.col(id_col).alias("_orig"))
+    keep = [F.least("_oa", "_ob").alias("id_a"),
+            F.greatest("_oa", "_ob").alias("id_b"),
+            *[F.col(c) for c in extra_cols]]
+    return (
+        pairs
+        .join(d.select(F.col("_h").alias("id_a"), F.col("_orig").alias("_oa")),
+              "id_a")
+        .join(d.select(F.col("_h").alias("id_b"), F.col("_orig").alias("_ob")),
+              "id_b")
+        .select(*keep)
+    )
+
+
+def huge_band_keys(bk: DataFrame, cap: int,
+                   fraction: float = 0.01, seed: int = 7) -> DataFrame:
+    """Band keys big enough to threaten an aggregation buffer, found
+    from a Bernoulli row sample instead of an exact full-volume count.
+
+    Detection threshold: ``max(50, 4 × cap × fraction)`` sampled rows.
+    A sampled count of s implies ≥ s true members, and for any band
+    with n ≳ 25 × cap the probability of slipping under the threshold
+    is Chernoff-negligible (n = 10⁴ at the defaults: P < 10⁻⁶ — and a
+    missed band that size buffers 80 KB, not a problem; a genuinely
+    catastrophic 10⁸-member boilerplate band oversamples the threshold
+    by 10⁴×). Conversely a band at exactly the cap (200 default) would
+    need ≥ 50 successes from Binomial(200, 0.01) to be dropped here —
+    P ≈ 10⁻⁸⁰ — so the pre-drop only ever removes bands the exact
+    post-agg cap filter (:func:`bucket_pairs`) would drop anyway, and
+    the output is identical to an exact pre-count at 1% of its cost."""
+    smin = max(50, int(4 * cap * fraction))
+    return (
+        bk.sample(fraction=fraction, seed=seed)
+        .groupBy("band_key").agg(F.count("*").alias("n_s"))
+        .filter(F.col("n_s") >= smin)
+        .select("band_key")
+    )
+
+
+def bucket_pairs(rows: DataFrame, id_col: str,
+                 cap: int | None = None) -> DataFrame:
     """All (id_a < id_b) pairs sharing a band_key, via groupBy-collect
-    + map-side double explode. REQUIRES the caller to have dropped
-    over-cap bands first (candidate_pairs does): the aggregation
-    buffer is one array of ≤ cap ids per band key, and the pair
-    emission (≤ cap²/2 rows from one task) happens after the shuffle,
-    inside whole-stage codegen — no join, no salt replication.
+    + map-side double explode. The aggregation buffer is one array of
+    ids per band key; callers bound it EITHER by dropping over-cap
+    bands first (exact pre-count) OR by pre-dropping only catastrophic
+    bands (:func:`huge_band_keys`) and passing ``cap`` so the exact
+    cap semantics are enforced post-agg here. Pair emission (≤ cap²/2
+    rows from one task) happens after the shuffle, inside whole-stage
+    codegen — no join, no salt replication.
 
     Within one band key each id appears at most once (a doc emits one
     row per band and band_idx is folded into the key hash), so the
     ``id_a < id_b`` filter yields each unordered pair exactly once per
     shared band; duplicates across bands are the caller's distinct."""
+    size_ok = F.size(F.col("ids")) >= 2
+    if cap is not None:
+        size_ok = size_ok & (F.size(F.col("ids")) <= cap)
     grouped = (
         rows.groupBy("band_key")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter(size_ok)
     )
     return (
         grouped.select(F.col("ids"), F.explode("ids").alias("id_a"))

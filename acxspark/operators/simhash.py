@@ -157,6 +157,19 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
     """
     if strategy not in ("bucket", "join"):
         raise ValueError(f"unknown pair strategy {strategy!r}")
+    from pyspark.sql.types import StringType
+
+    # string ids hash to 8-byte longs for the bucket shuffle and join
+    # back at the end — same bytes-on-the-wire rationale and collision
+    # analysis as lsh.candidate_pairs (the collision failure mode here
+    # additionally requires the colliding pair to share a chunk bucket)
+    hash_ids = strategy == "bucket" and isinstance(
+        df.schema[id_col].dataType, StringType)
+    if hash_ids:
+        key_col = "_acx_hid"
+        df_keyed_src = df.withColumn(key_col, F.xxhash64(F.col(id_col)))
+    else:
+        key_col, df_keyed_src = id_col, df
     from acxspark.operators.lsh import salted_self_join_pairs, track_cache
 
     sims = df.select(F.col(id_col), F.col(sim_col))
@@ -164,12 +177,48 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
     # costs less than the two id-join passes a rejoin would take, and
     # lets the common no-hot-bucket case run as ONE equi-join
     keyed = (
-        df.select(F.col(id_col), F.col(sim_col),
-                  F.explode(chunk_keys(F.col(sim_col), cfg)).alias("c"))
-        .select(id_col, sim_col,
+        df_keyed_src.select(
+            F.col(key_col), F.col(sim_col),
+            F.explode(chunk_keys(F.col(sim_col), cfg)).alias("c"))
+        .select(key_col, sim_col,
                 F.xxhash64(F.col("c.chunk_idx"), F.col("c.chunk_val")).alias("band_key"))
     ).persist()
     track_cache(keyed, caches)
+    if strategy == "bucket" and lineage is None:
+        # single full-volume shuffle, like lsh.candidate_pairs: the
+        # sampled catastrophic-bucket pre-drop replaces the exact
+        # pre-count (which is itself a full-volume shuffle when most
+        # bucket keys are distinct) and the exact cap is enforced
+        # post-agg below — identical output, half the shuffled bytes.
+        # The exact sizes agg is kept when a ``lineage`` counter is
+        # requested (it needs the true per-bucket drop volume).
+        from acxspark.operators.lsh import huge_band_keys, join_back_ids
+
+        kc = keyed.join(
+            F.broadcast(huge_band_keys(keyed, cfg.max_chunk_bucket)),
+            "band_key", "left_anti",
+        )
+        n_ms = F.size(F.col("ms"))
+        grouped = (
+            kc.groupBy("band_key")
+            .agg(F.collect_list(
+                F.struct(F.col(key_col).alias("id"),
+                         F.col(sim_col).alias("sim"))).alias("ms"))
+            .filter((n_ms >= 2) & (n_ms <= cfg.max_chunk_bucket))
+        )
+        ham_b = hamming_distance(F.col("a.sim"), F.col("b.sim"))
+        pairs = (
+            grouped.select(F.col("ms"), F.explode("ms").alias("a"))
+            .select(F.col("a"), F.explode("ms").alias("b"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .filter(ham_b <= cfg.simhash_max_hamming)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    ham_b.alias("hamming"))
+            .distinct()
+        )
+        if hash_ids:
+            pairs = join_back_ids(pairs, df, id_col, extra_cols=("hamming",))
+        return pairs
     # persisted (round 4): sizes feeds up to four independent
     # consumers (lineage counter, cap anti-join broadcast, hot probe,
     # hot-keys broadcast) — each would re-run the groupBy over every
@@ -207,15 +256,19 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
         "band_key", "left_anti",
     )
     if strategy == "bucket":
+        # bucket strategy WITH lineage: exact sizes already dropped the
+        # over-cap buckets above, so no post-agg cap filter is needed
+        from acxspark.operators.lsh import join_back_ids
+
         grouped = (
             kc.groupBy("band_key")
             .agg(F.collect_list(
-                F.struct(F.col(id_col).alias("id"),
+                F.struct(F.col(key_col).alias("id"),
                          F.col(sim_col).alias("sim"))).alias("ms"))
             .filter(F.size("ms") >= 2)
         )
         ham_b = hamming_distance(F.col("a.sim"), F.col("b.sim"))
-        return (
+        pairs = (
             grouped.select(F.col("ms"), F.explode("ms").alias("a"))
             .select(F.col("a"), F.explode("ms").alias("b"))
             .filter(F.col("a.id") < F.col("b.id"))
@@ -224,6 +277,9 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
                     ham_b.alias("hamming"))
             .distinct()
         )
+        if hash_ids:
+            pairs = join_back_ids(pairs, df, id_col, extra_cols=("hamming",))
+        return pairs
     ham = hamming_distance(F.col("sim_a"), F.col("sim_b"))
 
     hot_threshold = max(cfg.max_chunk_bucket // 4, 2 * cfg.band_salt_buckets)
