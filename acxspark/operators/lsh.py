@@ -6,16 +6,21 @@ band key become candidate pairs (reference README.md:119's
 ``--similarity`` surface, realized).
 
 Skew (SURVEY.md §7.3 item 3): boilerplate web text concentrates a few
-band keys into huge buckets; a self-join there is O(n²) in the hottest
-key. Defenses, in order:
+band keys into huge buckets; naive pair generation is O(n²) in the
+hottest key. Defenses, in order:
 1. cap: bands with > ``cfg.max_band_size`` members are dropped from
    pair generation (a doc in a capped band still meets its dups in the
    other bands — with 32 bands the recall loss is negligible and
    measured by the recall gate);
-2. AQE skew-join splitting (session.py) for residual imbalance;
-3. the join itself is on the exploded (band_key) equi-key, so Spark
-   plans a shuffled hash join with map-side pruned columns only
-   (doc id + band key — never text or signatures).
+2. the default ``strategy="bucket"`` generates pairs by grouping the
+   capped band members and emitting the triangular pairs map-side —
+   the cap bounds every task at cap²/2 emissions, so there is no
+   reducer for a hot key to overwhelm (skew-free by construction);
+3. for ``strategy="join"`` (large caps): AQE skew-join splitting
+   (session.py) plus the adaptive salted self-join for mid-size hot
+   bands; the join is on the exploded (band_key) equi-key with
+   map-side pruned columns only (8-byte hashed doc id + band key —
+   never text, urls, or signatures).
 """
 
 from __future__ import annotations

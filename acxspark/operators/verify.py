@@ -41,8 +41,25 @@ def exact_jaccard_edges(pairs: DataFrame, docs_with_shingles: DataFrame,
 
     Two hash joins on the doc id (both sides pruned to id+shingles);
     the Jaccard itself is array_intersect/union sizes inside codegen.
+
+    The shingle side is first semi-joined down to the ids that appear
+    in any pair: shingle arrays are the widest rows in the pipeline
+    (~kB/doc) and candidates usually touch a small fraction of the
+    corpus, so pruning BEFORE the pair joins keeps the wide rows out
+    of (most of) the join shuffles. AQE broadcasts the id list when
+    it is small; when pairs are huge the semi-join degrades to one
+    full shuffle of the shingle side — still no worse than the
+    un-pruned second pair join it replaces. Callers that consume the
+    pairs plan more than once (this joins ``pairs`` twice more)
+    should pass a persisted ``pairs``, as plans/pipeline.py does.
     """
     sh = docs_with_shingles.select(F.col(id_col), F.col("shingles"))
+    pair_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = sh.join(pair_ids, id_col, "left_semi")
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -134,6 +151,15 @@ def containment_edges(pairs: DataFrame, docs: DataFrame, id_col: str,
     builder.
     """
     d = docs.select(F.col(id_col), F.col(text_col))
+    # participating-id semi-join, same rationale as exact_jaccard_edges:
+    # texts are the heaviest column in the pipeline — prune the doc side
+    # to ids that appear in any unverified pair before the text joins
+    pair_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    d = d.join(pair_ids, id_col, "left_semi")
     j = (
         pairs.join(d.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")), "id_a")
         .join(d.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")), "id_b")
