@@ -22,7 +22,15 @@ already robust:
   * before starting, the harness scans /proc for other resident
     Spark/Java JVMs and reports them under "contended_jvms" (stderr
     warning + JSON flag — observable, not fatal, because the round
-    driver must always get its one JSON line back).
+    driver must always get its one JSON line back);
+  * (round-4 addendum) external hypervisor steal inflates walls even
+    with zero resident JVMs (BENCH/BASELINE.md §19/§21: identical jobs
+    measured 84.7 vs 122.0 s minutes apart, contended_jvms=0 both
+    times), so the harness also runs a 2-second single-thread DRAM
+    microbench before and after the suite and reports both under
+    "host_speed" (iterations of a fixed 35 MB numpy op) — a capture
+    taken in a slow window carries its own calibration: compare
+    host_speed across captures before comparing walls.
 
 Scaling-efficiency evidence (BASELINE.md gate) is produced by
 tools/bench_scaling.py, which runs THIS harness at two parallelism
@@ -108,6 +116,25 @@ def _resident_spark_jvms() -> list[str]:
     return hits
 
 
+def _host_speed(seconds: float = 2.0) -> int:
+    """Single-thread DRAM-streaming iterations in ``seconds`` — the
+    window-calibration witness (same 35 MB op as the BASELINE.md DRAM
+    table, one process). External steal that slows Spark walls slows
+    this count proportionally, while contended_jvms stays 0; a capture
+    whose host_speed is 30% below another's is measuring the host, not
+    the code. numpy-only so it costs ~2 s and no Spark state."""
+    import numpy as np
+
+    a = np.random.default_rng(0).integers(0, 1 << 63, size=4_400_000, dtype=np.int64)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        b = a * 3
+        b += 7
+        n += 1
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -123,6 +150,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    speed_before = _host_speed()
     spark = get_spark("acxspark-bench", parallelism=cpus)
 
     timings: dict[str, float] = {}  # reported per-query MIN across trials
@@ -187,6 +215,8 @@ def main() -> None:
         "trials": trials,
         "n_trials": n_trials,
         "contended_jvms": len(contended),
+        "host_speed": {"before": speed_before, "after": _host_speed(),
+                       "unit": "iters_2s_35MB_stream"},
         "sf": sf,
         "dedup_docs": n_docs,
         "dedup_survivors": n_survivors,
