@@ -92,17 +92,24 @@ def _with_shard(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
 
 def build_bloom(df: DataFrame, key_col: str, n_shards: int,
                 expected_items: int | None = None,
-                bits_per_item: int = 10, k: int = 7) -> DataFrame:
+                bits_per_item: int = 10, k: int = 7,
+                m_bits: int | None = None) -> DataFrame:
     """(shard, bitmap, n_items, m_bits, k) — one row per non-empty
     shard. ``expected_items`` sizes the bitmaps (build-once artifact,
     so the default one ``count()`` action is fine); rows hash-balance
     across shards, so every shard gets m = bits_per_item × n/n_shards
     bits (rounded to whole words). Distinct keys within a shard are
-    what matters for fpp; duplicate keys just re-set the same bits."""
-    if expected_items is None:
-        expected_items = df.count()
-    m = max(64, -(-bits_per_item * max(expected_items, 1) // n_shards
-                  ) // 64 * 64 + 64)
+    what matters for fpp; duplicate keys just re-set the same bits.
+    Pass ``m_bits`` explicitly to match an EXISTING artifact's
+    geometry (delta blooms must share m and k to be
+    :func:`merge_blooms`-able)."""
+    if m_bits is not None:
+        m = m_bits
+    else:
+        if expected_items is None:
+            expected_items = df.count()
+        m = max(64, -(-bits_per_item * max(expected_items, 1) // n_shards
+                      ) // 64 * 64 + 64)
     if m >= _MAX_SHARD_BITS:
         raise ValueError(
             f"shard bitmap {m} bits >= 2^32: raise n_shards "
@@ -202,3 +209,72 @@ def genuinely_new_rows(new_df: DataFrame, key_col: str, bloom: DataFrame,
     ).select(key_col)
     present = old_keys.select(key_col).join(maybe, key_col, "left_semi")
     return new_df.join(present, key_col, "left_anti")
+
+
+def bloom_params(bloom: DataFrame,
+                 allow_empty: bool = False) -> tuple[int, int] | None:
+    """(m_bits, k) of an artifact, asserting it is geometry-uniform
+    (every shard row must share them for probes/merges to be valid).
+    One action over the slim (m_bits, k) projection of a ≤n_shards-row
+    table. An artifact with zero shard rows (a delta built from an
+    all-refetch increment) has no geometry of its own: None with
+    ``allow_empty``, else an error."""
+    rows = bloom.select("m_bits", "k").distinct().collect()
+    if not rows:
+        if allow_empty:
+            return None
+        raise ValueError("empty bloom artifact")
+    if len(rows) != 1:
+        raise ValueError(f"bloom artifact mixes geometries: {rows}")
+    return int(rows[0]["m_bits"]), int(rows[0]["k"])
+
+
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Shard-wise OR of two same-geometry artifacts — how an
+    incremental run folds its delta's keys into the committed
+    membership state at O(|delta shards|) cost (never a corpus
+    rebuild). Full-outer on shard so one-sided shards pass through;
+    the OR is an Arrow-batched pandas_udf over the two bitmap columns
+    (one row per shard, so the batch is a handful of MB-sized
+    buffers, never per-key work). An EMPTY side (all-refetch delta)
+    is geometry-compatible with anything and the merge degenerates to
+    the other side's rows."""
+    pa = bloom_params(a, allow_empty=True)
+    pb = bloom_params(b, allow_empty=True)
+    if pa is not None and pb is not None and pa != pb:
+        raise ValueError("merge_blooms requires identical (m_bits, k)")
+
+    @F.pandas_udf(T.BinaryType())
+    def _or(x: pd.Series, y: pd.Series) -> pd.Series:
+        def one(bx, by):
+            if bx is None:
+                return by
+            if by is None:
+                return bx
+            return (
+                np.frombuffer(bx, dtype=np.uint64)
+                | np.frombuffer(by, dtype=np.uint64)
+            ).tobytes()
+
+        return pd.Series([one(bx, by) for bx, by in zip(x, y)])
+
+    au = a.select(
+        "shard", F.col("bitmap").alias("_ba"),
+        F.col("n_items").alias("_na"), "m_bits", "k",
+    )
+    bu = b.select(
+        "shard", F.col("bitmap").alias("_bb"),
+        F.col("n_items").alias("_nb"),
+        F.col("m_bits").alias("_mb"), F.col("k").alias("_kb"),
+    )
+    return (
+        au.join(bu, "shard", "full_outer")
+        .select(
+            "shard",
+            _or("_ba", "_bb").alias("bitmap"),
+            (F.coalesce("_na", F.lit(0)) + F.coalesce("_nb", F.lit(0)))
+            .alias("n_items"),
+            F.coalesce("m_bits", "_mb").alias("m_bits"),
+            F.coalesce("k", "_kb").alias("k"),
+        )
+    )

@@ -120,24 +120,70 @@ def run_incremental(new_web: DataFrame, catalog,
     new_hashed = new_docs.select(
         "url", F.sha2(F.col(text_col), 256).alias("text_sha")
     )
-    new_sigs = with_signatures(
-        new_docs, text_col=text_col, cfg=cfg, id_col="url"
-    ).join(new_hashed, "url").persist()
-    caches.append(new_sigs)
 
-    # ---- exact tier vs old: BROADCAST the delta's hash set into the
-    # old scan (sha column only) — map-side, the old side never
-    # shuffles, the scan reads two slim columns ----------------------
+    # ---- exact tier vs old ------------------------------------------
+    # With a committed `sha_bloom` artifact (operators/bloom.py,
+    # written by run_pipeline alongside the signatures snapshot), the
+    # delta's definitely-new shas — the crawl-increment majority —
+    # are dropped from the probe BEFORE the old side is touched: only
+    # the bloom-maybe set (true re-fetches + fpp) rides the broadcast
+    # into the old scan, which a bucketed/partition-pruned snapshot
+    # then serves as point lookups instead of a corpus pass. Zero
+    # false negatives ⇒ exact_cross is IDENTICAL with or without the
+    # gate (pytest-pinned). Catalogs predating the artifact skip it.
+    exact_probe = new_hashed
+    bloom = None
+    if catalog.has("sha_bloom"):
+        from acxspark.operators.bloom import might_contain
+
+        bloom_ns = int(catalog.latest_meta("sha_bloom")["n_shards"])
+        bloom = catalog.read(spark, "sha_bloom").persist()
+        caches.append(bloom)
+        maybe = lin.observe(
+            might_contain(new_hashed, "text_sha", bloom, bloom_ns)
+            .filter(F.col("might_contain"))
+            .select("text_sha"),
+            "incr_bloom_maybe",
+        )
+        exact_probe = new_hashed.join(F.broadcast(maybe), "text_sha")
+    # BROADCAST the (gated) delta hash set into the old scan (sha
+    # column only) — map-side, the old side never shuffles, the scan
+    # reads two slim columns. Persisted: consumed by the matched-edge
+    # union AND the re-fetch signature skip below.
     exact_cross = (
         old_sigs.select(F.col("url").alias("id_b"), "text_sha")
         .join(
             F.broadcast(
-                new_hashed.select(F.col("url").alias("id_a"), "text_sha")
+                exact_probe.select(F.col("url").alias("id_a"), "text_sha")
             ),
             "text_sha",
         )
         .select("id_a", "id_b")
+        .persist()
     )
+    caches.append(exact_cross)
+
+    # ---- signatures: EXACT RE-FETCHES SKIP THE SIGNATURE STAGE ------
+    # A new doc byte-identical to a committed one (unchanged page,
+    # re-crawled) needs no shingles/minhash: identical text ⇒
+    # identical signature ⇒ identical band keys, so any near-dup
+    # another doc would find through it, it finds through the OLD
+    # copy via the cross tier, and the re-fetch itself joins the old
+    # cluster through exact_cross. Real increments are dominated by
+    # re-fetches, and the signature scan is the pipeline's most
+    # expensive stage — this is the increment's biggest lever. The
+    # skipped rows also stay OUT of the signatures snapshot union
+    # below (their sha's representative is already committed), which
+    # restores the full run's reps-only snapshot contract.
+    refetch_urls = exact_cross.select(F.col("id_a").alias("url")).distinct()
+    to_sign = lin.observe(
+        new_docs.join(refetch_urls, "url", "left_anti"),
+        "incr_signed",
+    )
+    new_sigs = with_signatures(
+        to_sign, text_col=text_col, cfg=cfg, id_col="url"
+    ).join(new_hashed, "url").persist()
+    caches.append(new_sigs)
 
     # ---- minhash tier vs old ---------------------------------------
     # The incremental contract is delta ≪ corpus, so the delta's band
@@ -286,6 +332,26 @@ def run_incremental(new_web: DataFrame, catalog,
             old_clusters.unionByName(assignments),
             meta={"incremental": True},
         )
+        if bloom is not None:
+            # fold ONLY the delta's newly-signed shas into the
+            # membership artifact: a same-geometry delta bloom OR-ed
+            # shard-wise — O(|delta shards|), never a corpus rebuild.
+            from acxspark.operators.bloom import (
+                bloom_params,
+                build_bloom,
+                merge_blooms,
+            )
+
+            m_bits, k = bloom_params(bloom)
+            delta = build_bloom(
+                new_sigs.select("text_sha"), "text_sha",
+                n_shards=bloom_ns, m_bits=m_bits, k=k,
+            )
+            catalog.write(
+                "sha_bloom",
+                merge_blooms(bloom, delta),
+                meta={"incremental": True, "n_shards": bloom_ns},
+            )
 
     return IncrementalResult(assignments=assignments, lineage=lin,
                              caches=caches)

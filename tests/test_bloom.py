@@ -103,3 +103,113 @@ def test_shards_for():
     assert shards_for(4_000_000) == 1
     assert shards_for(4_000_001) == 2
     assert shards_for(10**12) == 250_000
+
+
+def test_merge_blooms_equals_joint_build(frames, spark):
+    from acxspark.operators.bloom import bloom_params, build_bloom, merge_blooms
+
+    old, new, bloom = frames
+    m, k = bloom_params(bloom)
+    delta = build_bloom(new.select("key"), "key", n_shards=N_SHARDS,
+                        m_bits=m, k=k)
+    merged = {r["shard"]: bytes(r["bitmap"])
+              for r in merge_blooms(bloom, delta).collect()}
+    joint = {
+        r["shard"]: bytes(r["bitmap"])
+        for r in build_bloom(
+            old.select("key").unionByName(new.select("key")),
+            "key", n_shards=N_SHARDS, m_bits=m, k=k,
+        ).collect()
+    }
+    assert merged == joint
+
+
+def test_merge_blooms_rejects_geometry_mismatch(frames, spark):
+    from acxspark.operators.bloom import build_bloom, merge_blooms
+
+    old, _, bloom = frames
+    other = build_bloom(old, "key", n_shards=N_SHARDS, m_bits=128, k=3)
+    with pytest.raises(ValueError, match="m_bits"):
+        merge_blooms(bloom, other)
+
+
+def _incremental_fixture_frames(spark):
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen ships sail quietly past the harbor wall "
+            "under a pale winter sky full of patient birds ")
+    other = ("completely different content about distributed shuffle "
+             "joins and columnar execution engines at petabyte scale "
+             "with adaptive query planning and skew mitigation ")
+    A = spark.createDataFrame(
+        [("a1", base), ("a2", base.replace("winter", "summer")),
+         ("a3", other), ("a4", "tiny unique doc four " * 10)],
+        "url string, text string",
+    )
+    B = spark.createDataFrame(
+        [("b1", base),                                   # re-fetch of a1
+         ("b2", other),                                  # re-fetch of a3
+         ("b3", base.replace("patient", "curious")),     # near dup of a1
+         ("b4", "brand new cluster of words " * 8),
+         ("b5", "entirely novel singleton document " * 6)],
+        "url string, text string",
+    )
+    return A, B
+
+
+def test_incremental_bloom_gate_is_transparent(spark, tmp_path):
+    """run_incremental over a catalog WITH the sha_bloom artifact must
+    assign identically to one without it (the gate only prunes the
+    old-side probe — zero false negatives make it invisible), while
+    exact re-fetches skip the signature stage entirely."""
+    import shutil
+
+    from acxspark.catalog import ParquetSnapshotCatalog
+    from acxspark.config import DedupConfig
+    from acxspark.plans.incremental import run_incremental
+    from acxspark.plans.pipeline import run_pipeline
+
+    A, B = _incremental_fixture_frames(spark)
+
+    def run(with_bloom: bool):
+        cat = ParquetSnapshotCatalog(
+            tmp_path / ("with" if with_bloom else "without")
+        )
+        run_pipeline(A, cfg=DedupConfig(), catalog=cat).release()
+        assert cat.has("sha_bloom")
+        if not with_bloom:
+            shutil.rmtree(cat.root / "sha_bloom")
+        inc = run_incremental(B, cat, cfg=DedupConfig())
+        got = {r["url"]: r["cluster_id"] for r in inc.assignments.collect()}
+        for df in inc.caches:
+            df.unpersist()
+        return got, inc.lineage, cat
+
+    got_b, lin_b, cat_b = run(True)
+    got_p, _, _ = run(False)
+    assert got_b == got_p
+    assert got_b["b1"] == "a1" and got_b["b2"] == "a3"
+    # the two re-fetches were never signed; the other three were
+    assert lin_b.observations["incr_signed"].get["rows"] == 3
+    # and the snapshot stayed reps-only: no second row for a1/a3's shas
+    sigs = cat_b.read(spark, "signatures")
+    assert sigs.groupBy("text_sha").count().filter("count > 1").count() == 0
+
+    # second increment: a re-fetch of FIRST-increment content must hit
+    # the MERGED bloom and keep its frozen label
+    C = spark.createDataFrame(
+        [("c1", "brand new cluster of words " * 8)],  # re-fetch of b4
+        "url string, text string",
+    )
+    n_sigs_before = cat_b.read(spark, "signatures").count()
+    inc2 = run_incremental(C, cat_b, cfg=DedupConfig())
+    got2 = {r["url"]: r["cluster_id"] for r in inc2.assignments.collect()}
+    assert got2["c1"] == "b4"
+    # the re-fetch was never signed: the snapshot gained no rows (the
+    # incr_signed Observation can't be .get here — an all-empty
+    # observed subtree may never fire metrics; Lineage.flush tolerates
+    # that, so assert on the committed state instead)
+    assert cat_b.read(spark, "signatures").count() == n_sigs_before
+    # and the merged bloom survived the empty delta
+    assert cat_b.read(spark, "sha_bloom").count() >= 1
+    for df in inc2.caches:
+        df.unpersist()
