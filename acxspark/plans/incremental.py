@@ -90,12 +90,20 @@ def run_incremental(new_web: DataFrame, catalog,
                     cfg: DedupConfig = DEFAULT_CONFIG,
                     text_col: str = "text",
                     lineage_path: str | None = None,
-                    update_snapshots: bool = True) -> IncrementalResult:
+                    update_snapshots: bool = True,
+                    snapshot_meta: dict | None = None) -> IncrementalResult:
     """Assign every NEW doc a cluster id against the committed state.
 
     Requires `signatures` and `clusters` snapshots (a prior
     run_pipeline(catalog=...)). New urls must be distinct from old
-    urls (crawl increments key by url+fetch partition upstream).
+    urls (crawl increments key by url+fetch partition upstream) —
+    EXCEPT on a replay of an already-committed batch (a streaming
+    restart re-delivering its last micro-batch), which is safe: every
+    replayed doc exact-matches its own committed copy, gets back its
+    committed label, and the url-keyed anti-join unions below leave
+    the snapshots row-identical. ``snapshot_meta`` rides every
+    snapshot manifest this run commits (streaming/ingest.py stamps
+    the micro-batch id through it for the exactly-once guard).
     """
     spark = new_web.sparkSession
     lin = Lineage(lineage_path, cfg.fingerprint())
@@ -114,6 +122,21 @@ def run_incremental(new_web: DataFrame, catalog,
         "incr_docs_scanned",
     ).persist()
     caches.append(new_docs)
+
+    # REPLAY SAFETY: view the committed state as it was BEFORE this
+    # batch by excluding the batch's own urls from the old side. On
+    # the normal path (disjoint urls) this broadcast anti-join removes
+    # nothing and costs one map-side probe per old row. On a replayed
+    # batch whose previous attempt crashed after the signatures commit
+    # (streaming/ingest.py slow path), it is what keeps the re-run
+    # byte-identical to the first attempt: without it every replayed
+    # doc sha-matches its OWN committed signature, gets classified a
+    # re-fetch, skips signing — and silently loses its near-dup edges.
+    batch_urls = new_docs.select("url").distinct()
+    old_sigs = old_sigs.join(F.broadcast(batch_urls), "url", "left_anti")
+    old_clusters = old_clusters.join(
+        F.broadcast(batch_urls), "url", "left_anti"
+    )
 
     # ---- signatures for the new rows (with sha, matching the
     # snapshot schema so the union below stays aligned) --------------
@@ -322,15 +345,27 @@ def run_incremental(new_web: DataFrame, catalog,
 
     if update_snapshots:
         # next increment sees this one: union the snapshots. At real
-        # scale these are Iceberg APPENDs, not rewrites.
+        # scale these are Iceberg APPENDs, not rewrites. The url-keyed
+        # anti-joins make the commit IDEMPOTENT under batch replay
+        # (streaming restart, crash between the two table writes): a
+        # re-applied batch's rows are already in the old side, and
+        # since its assignments are deterministic (frozen base labels
+        # + exact-match-to-self), replacing them is a row-identical
+        # no-op. On the normal path (disjoint urls) the anti-join
+        # removes nothing. The bloom merge below is idempotent by
+        # algebra (OR-ing the same delta twice is the same bits).
+        meta = {"incremental": True, **(snapshot_meta or {})}
         catalog.write(
             "signatures",
-            old_sigs.unionByName(new_sigs), meta={"incremental": True},
+            old_sigs.join(new_sigs.select("url"), "url", "left_anti")
+            .unionByName(new_sigs),
+            meta=meta,
         )
         catalog.write(
             "clusters",
-            old_clusters.unionByName(assignments),
-            meta={"incremental": True},
+            old_clusters.join(assignments.select("url"), "url", "left_anti")
+            .unionByName(assignments),
+            meta=meta,
         )
         if bloom is not None:
             # fold ONLY the delta's newly-signed shas into the
@@ -350,7 +385,7 @@ def run_incremental(new_web: DataFrame, catalog,
             catalog.write(
                 "sha_bloom",
                 merge_blooms(bloom, delta),
-                meta={"incremental": True, "n_shards": bloom_ns},
+                meta={**meta, "n_shards": bloom_ns},
             )
 
     return IncrementalResult(assignments=assignments, lineage=lin,

@@ -101,7 +101,8 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                  redact: bool = False,
                  url_dedup: bool = False,
                  span_dedup_k: int | None = None,
-                 text_col: str = "text") -> PipelineResult:
+                 text_col: str = "text",
+                 snapshot_meta: dict | None = None) -> PipelineResult:
     """With ``catalog`` set, the two expensive stage boundaries —
     ``signatures`` (the fused Arrow scan) and ``edges`` (all four
     candidate tiers) — commit snapshots stamped with the config
@@ -110,7 +111,10 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     stage whose snapshot matches both stamps (north_rule: any stage
     resumes from the last committed snapshot); a changed input or
     config invalidates the snapshot and the stage recomputes. CC
-    additionally snapshots per round (operators/cc.py)."""
+    additionally snapshots per round (operators/cc.py).
+    ``snapshot_meta`` rides every snapshot manifest (extra keys only —
+    never part of the resume stamp comparison; streaming/ingest.py
+    stamps the micro-batch id through it)."""
     lin = Lineage(lineage_path, cfg.fingerprint())
     caches: list[DataFrame] = []
 
@@ -151,6 +155,9 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
         ).collect()[0]
         stamp = {"config": cfg.fingerprint(), "n_docs": int(row["n"]),
                  "input_hash": int(row["h"])}
+    # what actually rides the manifests: the resume stamp plus any
+    # caller passthrough; _fresh compares the stamp's keys only
+    wmeta = {**stamp, **(snapshot_meta or {})}
 
     def _fresh(table: str) -> bool:
         if catalog is None or not catalog.has(table):
@@ -219,7 +226,7 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
             docs.select("url"), "url", edge_pairs, catalog=catalog,
             table=cc_table,
         )
-        catalog.write("clusters", clusters, meta=stamp)
+        catalog.write("clusters", clusters, meta=wmeta)
         clusters = lin.observe(catalog.read(spark, "clusters"),
                                "clusters_assigned")
         return PipelineResult(clusters=clusters, edges=edges,
@@ -278,7 +285,7 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
             # rides along (32 B/row) so INCREMENTAL runs
             # (plans/incremental.py) can run the exact tier against
             # this snapshot without touching old text.
-            catalog.write("signatures", sigs.join(hashed, "url"), meta=stamp)
+            catalog.write("signatures", sigs.join(hashed, "url"), meta=wmeta)
             sigs = catalog.read(spark, "signatures")
             # membership artifact over the committed sha set: lets
             # every later INCREMENT (plans/incremental.py) answer
@@ -295,7 +302,7 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                 "sha_bloom",
                 build_bloom(sigs.select("text_sha"), "text_sha",
                             n_shards=ns, expected_items=stamp["n_docs"]),
-                meta={**stamp, "n_shards": ns},
+                meta={**wmeta, "n_shards": ns},
             )
         sigs = sigs.persist()
     caches.append(sigs)
@@ -343,7 +350,7 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     # catalog, the committed edge snapshot IS the lineage cut (and the
     # resume point for the whole candidate phase).
     if catalog is not None:
-        catalog.write("edges", edges, meta=stamp)
+        catalog.write("edges", edges, meta=wmeta)
         edges = catalog.read(spark, "edges")
         edge_pairs = edges.select("id_a", "id_b")
     else:
@@ -355,7 +362,7 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     if catalog is not None:
         # the cluster snapshot is what incremental runs
         # (plans/incremental.py) join new batches against
-        catalog.write("clusters", clusters, meta=stamp)
+        catalog.write("clusters", clusters, meta=wmeta)
         clusters = catalog.read(spark, "clusters")
     clusters = lin.observe(clusters, "clusters_assigned")
 

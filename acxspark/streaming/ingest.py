@@ -1,0 +1,148 @@
+"""Streaming crawl ingestion: fold micro-batches of new web pages into
+the committed dedup state, exactly-once.
+
+The batch plans already carry the heavy machinery — ``run_pipeline``
+commits `signatures`/`edges`/`clusters`/`sha_bloom` snapshots and
+``run_incremental`` folds a delta against them at O(|delta|) cost
+(plans/incremental.py). This module is the Structured Streaming
+wrapper that turns a continuous crawl feed into a sequence of those
+increments (north_rule: resumable from checkpoint with per-partition
+lineage + metrics; reference analog: the CLI's append-and-dedupe loop
+`/root/reference/src/cli.cpp:289-308`, lifted from one process to a
+micro-batched stream):
+
+  readStream(new pages) → foreachBatch(fold_batch) where
+    batch 0 against an empty catalog  → run_pipeline (cold start)
+    every later batch                 → run_incremental
+
+Exactly-once, concretely. Structured Streaming's foreachBatch is
+at-least-once: after a crash the restarted query re-delivers the last
+un-checkpointed micro-batch with the SAME batch_id. Two layers make
+the re-delivery harmless:
+
+1. fast path — the batch id is stamped into every snapshot manifest
+   this fold commits (``snapshot_meta``); a replayed id ≤ the clusters
+   manifest's ``ingest_batch_id`` is skipped without touching data.
+2. slow path (crash BETWEEN the increment's two table commits, so the
+   stamp never landed) — re-running the increment is idempotent by
+   construction: every already-committed doc exact-matches its own
+   committed copy and gets back its committed (frozen) label, and the
+   snapshot unions are url-keyed anti-join unions, so the re-commit is
+   row-identical (tested in tests/test_ingest.py).
+
+The stream checkpoint (Spark's own) and the catalog snapshots are the
+two durable states; batch ids are only meaningful per checkpoint dir,
+so keep the pair (checkpoint_dir, catalog) together — pointing an old
+catalog at a fresh checkpoint restarts ids at 0 and the fast-path
+guard would skip real data (fold_batch raises loudly instead of
+guessing: see the stale-id check).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+from acxspark.config import DEFAULT_CONFIG, DedupConfig
+
+
+def last_committed_batch(catalog) -> int | None:
+    """The newest micro-batch id stamped into the clusters manifest,
+    or None (catalog empty, or seeded by a non-streaming run)."""
+    if not catalog.has("clusters"):
+        return None
+    bid = catalog.latest_meta("clusters").get("ingest_batch_id")
+    return int(bid) if bid is not None else None
+
+
+def fold_batch(batch_df: DataFrame, batch_id: int, catalog,
+               cfg: DedupConfig = DEFAULT_CONFIG,
+               text_col: str = "text",
+               lineage_dir: str | None = None,
+               out_dir: str | None = None) -> dict:
+    """Fold ONE micro-batch into the committed state; returns a summary
+    dict (also usable directly for non-streaming batch drivers that
+    want the same exactly-once ledger semantics).
+
+    ``out_dir`` (optional): per-batch cluster assignments land under
+    ``out_dir/batch-<id>`` for downstream consumers that key on the
+    increment, in addition to the cumulative `clusters` snapshot.
+    ``lineage_dir`` (optional): per-batch lineage counters append to
+    ``lineage_dir/batch-<id>.jsonl``.
+    """
+    last = last_committed_batch(catalog)
+    if last is not None and batch_id <= last:
+        if batch_id < last:
+            # a replay can only re-deliver the LAST batch; an id from
+            # further back means this catalog is paired with a
+            # different (newer) checkpoint dir — refusing beats
+            # silently dropping a real increment
+            raise ValueError(
+                f"batch_id {batch_id} predates committed "
+                f"ingest_batch_id {last}: catalog/checkpoint mismatch"
+            )
+        return {"batch_id": batch_id, "action": "skipped_replay"}
+    if batch_df.isEmpty():
+        return {"batch_id": batch_id, "action": "empty"}
+
+    lineage_path = (
+        str(Path(lineage_dir) / f"batch-{batch_id}.jsonl")
+        if lineage_dir else None
+    )
+    meta = {"ingest_batch_id": int(batch_id)}
+    if not catalog.has("signatures"):
+        # cold start: the first batch IS the corpus; run the full
+        # pipeline so the catalog gains all four snapshots
+        from acxspark.plans.pipeline import run_pipeline
+
+        res = run_pipeline(batch_df, cfg=cfg, text_col=text_col,
+                           catalog=catalog, lineage_path=lineage_path,
+                           snapshot_meta=meta)
+        assignments, action = res.clusters, "cold_start"
+    else:
+        from acxspark.plans.incremental import run_incremental
+
+        res = run_incremental(batch_df, catalog, cfg=cfg,
+                              text_col=text_col,
+                              lineage_path=lineage_path,
+                              snapshot_meta=meta)
+        assignments, action = res.assignments, "increment"
+
+    n = assignments.count()
+    if out_dir:
+        assignments.write.mode("overwrite").parquet(
+            str(Path(out_dir) / f"batch-{batch_id}")
+        )
+    res.lineage.flush()
+    for df in res.caches or []:
+        df.unpersist()
+    return {"batch_id": batch_id, "action": action, "n_docs": n}
+
+
+def ingest_crawl_stream(stream_df: DataFrame, catalog, checkpoint_dir: str,
+                        cfg: DedupConfig = DEFAULT_CONFIG,
+                        text_col: str = "text",
+                        lineage_dir: str | None = None,
+                        out_dir: str | None = None,
+                        trigger: dict | None = None):
+    """Start the ingestion query over a streaming DataFrame of new
+    pages (any Structured Streaming source; schema must carry ``url``
+    and ``text_col``). Returns the StreamingQuery.
+
+    ``trigger`` passes through to ``writeStream.trigger(**trigger)``:
+    ``{"availableNow": True}`` drains what exists and stops (backfill /
+    tests); ``{"processingTime": "10 minutes"}`` is the continuous-
+    crawl shape. Default: availableNow.
+    """
+    def _fold(bdf: DataFrame, bid: int) -> None:
+        fold_batch(bdf, bid, catalog, cfg=cfg, text_col=text_col,
+                   lineage_dir=lineage_dir, out_dir=out_dir)
+
+    return (
+        stream_df.writeStream
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
