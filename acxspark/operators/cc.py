@@ -65,7 +65,8 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _union_find_labels(pairs: list[tuple], spark, schema) -> DataFrame:
+def _union_find_labels(pairs: list[tuple], spark, schema,
+                       hint_broadcast: bool = True) -> DataFrame:
     """Driver-side union-find over a SMALL edge list → (u, component)
     with component = min id, bit-identical to the star-join fixpoint
     (both are 'min id per component', a well-defined function of the
@@ -94,16 +95,24 @@ def _union_find_labels(pairs: list[tuple], spark, schema) -> DataFrame:
         if r not in comp_min or n < comp_min[r]:
             comp_min[r] = n
     rows = [(n, comp_min[find(n)]) for n in sorted(nodes)]
-    # explicit broadcast: a createDataFrame result has unknown stats,
-    # so the downstream label join would otherwise plan as a
-    # SortMergeJoin (two exchanges) until AQE repairs it at runtime —
-    # the cap guarantees this table is broadcast-sized by construction
-    return F.broadcast(spark.createDataFrame(rows, schema))
+    out = spark.createDataFrame(rows, schema)
+    # Broadcast hint is caller-controlled: a createDataFrame result
+    # has unknown stats, so without the hint the downstream label
+    # join plans as a SortMergeJoin (two exchanges) until AQE repairs
+    # it at runtime. The cap guarantees the table is broadcast-sized
+    # by construction, so the hint is always SAFE — but it is only
+    # VALID where the labels land on a build side (build side of an
+    # inner join, right side of a left-outer assignment join). A
+    # caller that puts the labels on a preserved outer side (e.g.
+    # run_incremental's left-outer label-resolution join) must pass
+    # hint_broadcast=False or Spark warns and drops the hint.
+    return F.broadcast(out) if hint_broadcast else out
 
 
 def connected_components(edges: DataFrame, max_iter: int = 50,
                          catalog=None, table: str = "cc_edges",
-                         small_graph_cap: int = 1_000_000) -> DataFrame:
+                         small_graph_cap: int = 1_000_000,
+                         hint_broadcast_labels: bool = True) -> DataFrame:
     """edges(u, v) → labels(u, component) where component = min id.
 
     Ids may be any orderable type (string urls or long doc ids).
@@ -133,7 +142,8 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
                 F.col("u"), F.col("v").alias("component")
             ).schema
             return _union_find_labels(
-                [(r["u"], r["v"]) for r in probe], e.sparkSession, schema
+                [(r["u"], r["v"]) for r in probe], e.sparkSession, schema,
+                hint_broadcast=hint_broadcast_labels,
             )
         del probe  # over cap: fall through to the distributed loop
 

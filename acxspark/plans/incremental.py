@@ -300,23 +300,34 @@ def run_incremental(new_web: DataFrame, catalog,
         matched.unionByName(near_intra).unionByName(intra_exact)
         .localCheckpoint(eager=True)
     )
+    # hint_broadcast_labels=False: comp lands on the PRESERVED left
+    # side of the label-resolution left-outer join below, where an
+    # embedded broadcast hint is invalid (Spark warns and drops it).
+    # AQE still converts the join to BHJ at runtime when the actual
+    # exchanged bytes of comp_labels allow it.
     comp = connected_components(all_edges.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
-    ))
+    ), hint_broadcast_labels=False)
 
     # label resolution: any old label in the component wins (labels
     # are frozen — first occurrence wins across BATCHES, the
     # reference's first-wins order lifted to increments); ties across
     # two old labels take the min and count a bridge.
+    # inner join, comp on the build side: the delta's component table
+    # is bounded by the batch while old_label_set grows with the whole
+    # corpus — at 10^12-doc scale the small side must be comp, and an
+    # inner join (vs a left-outer preserving comp) lets AQE broadcast
+    # it. Components with no old label simply have no row here; the
+    # left join below restores them with old_min = NULL.
     old_label_set = old_clusters.select(
         F.col("cluster_id").alias("u")
-    ).distinct().withColumn("_old", F.lit(True))
+    ).distinct()
     comp_labels = (
-        comp.join(old_label_set, "u", "left")
+        comp.join(old_label_set, "u")
         .groupBy("component")
         .agg(
-            F.min(F.when(F.col("_old"), F.col("u"))).alias("old_min"),
-            F.count(F.when(F.col("_old"), 1)).alias("n_old"),
+            F.min("u").alias("old_min"),
+            F.count(F.lit(1)).alias("n_old"),
         )
     )
     lin.record(
@@ -325,8 +336,11 @@ def run_incremental(new_web: DataFrame, catalog,
             comp_labels.filter(F.col("n_old") > 1).count()
         ),
     )
+    # no forced broadcast: comp_labels is usually micro-batch-sized,
+    # but a backfill increment can be arbitrarily large — AQE converts
+    # to BHJ at runtime exactly when the exchanged bytes allow it
     resolved = (
-        comp.join(comp_labels, "component")
+        comp.join(comp_labels, "component", "left")
         .select(
             F.col("u").alias("url"),
             F.coalesce("old_min", "component").alias("cluster_id"),

@@ -91,6 +91,17 @@ def fold_batch(batch_df: DataFrame, batch_id: int, catalog,
         if lineage_dir else None
     )
     meta = {"ingest_batch_id": int(batch_id)}
+    # A micro-batch typically arrives in very few partitions (one per
+    # source file under maxFilesPerTrigger, or createDataFrame's
+    # driver-local split), and every narrow stage downstream — the
+    # Arrow signature scan above all — inherits that width and runs
+    # serially on an otherwise idle cluster. Spread the batch to the
+    # session's parallelism BEFORE the fold; safe because the whole
+    # pipeline is partitioning-independent (checksums bit-identical
+    # across 1..32 cores, BENCH/*.jsonl).
+    target = batch_df.sparkSession.sparkContext.defaultParallelism
+    if batch_df.rdd.getNumPartitions() < target:
+        batch_df = batch_df.repartition(target)
     if not catalog.has("signatures"):
         # cold start: the first batch IS the corpus; run the full
         # pipeline so the catalog gains all four snapshots
