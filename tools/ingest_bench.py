@@ -40,8 +40,12 @@ from acxspark.corpus import generate  # noqa: E402
 from acxspark.session import get_spark  # noqa: E402
 from acxspark.streaming.ingest import fold_batch  # noqa: E402
 
-BASE_DOCS = 160_000
-DELTA_DOCS = 20_000
+# env-overridable so the SAME harness measures the batch-size
+# amortization claim (BASELINE.md §23: a 20k micro-batch is
+# fixed-latency-bound; a bigger delta should inherit the batch
+# ladder's scaling). Base corpus must exist as BENCH/corpus_<N>.
+BASE_DOCS = int(os.environ.get("SPARK_GRAFT_INGEST_BASE", 160_000))
+DELTA_DOCS = int(os.environ.get("SPARK_GRAFT_INGEST_DELTA", 20_000))
 
 
 def build_feed(spark, feed: Path) -> None:
