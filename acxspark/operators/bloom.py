@@ -142,15 +142,23 @@ def build_bloom(df: DataFrame, key_col: str, n_shards: int,
 
 
 def might_contain(new_df: DataFrame, key_col: str, bloom: DataFrame,
-                  n_shards: int) -> DataFrame:
+                  n_shards: int, observation=None) -> DataFrame:
     """(key_col, might_contain) for every DISTINCT key in ``new_df``.
 
     Cogrouped-map check: the delta shuffles by shard (the delta is the
     small side by contract); each task gets (delta rows of one shard,
-    that shard's single bloom row). An absent bloom row means the
-    shard held no committed keys — definite no. False negatives are
-    impossible; ``might_contain`` rows are wrong only at the fpp rate
-    and only in the safe direction (extra confirm lookups)."""
+    that shard's single bloom row). The artifact side is first
+    semi-joined to the delta's distinct shard set, so the cogroup
+    shuffles O(|delta shards|) bitmap rows, never the whole artifact.
+    An absent bloom row means the shard held no committed keys —
+    definite no. False negatives are impossible; ``might_contain``
+    rows are wrong only at the fpp rate and only in the safe direction
+    (extra confirm lookups).
+
+    ``observation`` (optional ``pyspark.sql.Observation``) is attached
+    to the pruned artifact side and reports ``bloom_shards_scanned`` —
+    pytest pins that it equals the delta's touched-shard count, not
+    n_shards."""
     out_schema = T.StructType(
         [
             new_df.schema[key_col],
@@ -184,9 +192,21 @@ def might_contain(new_df: DataFrame, key_col: str, bloom: DataFrame,
             ).alias("shard"),
         )
     )
+    # Prune the artifact to the delta's shards BEFORE the cogroup:
+    # without this, every increment shuffles the FULL bitmap table
+    # (~1.2 TB at the module's own 10^12-key sizing) even when the
+    # delta touches 1% of shards. An absent bloom row already means
+    # definite-no, so dropping untouched shards is semantics-free.
+    touched = bloom.join(
+        F.broadcast(probes.select("shard").distinct()), "shard", "left_semi"
+    )
+    if observation is not None:
+        touched = touched.observe(
+            observation, F.count(F.lit(1)).alias("bloom_shards_scanned")
+        )
     return (
         probes.groupBy("shard")
-        .cogroup(bloom.groupBy("shard"))
+        .cogroup(touched.groupBy("shard"))
         .applyInPandas(check, schema=out_schema)
     )
 

@@ -84,14 +84,41 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     )
 
 
-def or_key_components(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
+def or_key_components(df: DataFrame, id_col: str, key_cols: list[str],
+                      hash_nodes: bool = True,
+                      small_graph_cap: int = 1_000_000) -> DataFrame:
     """Transitive OR-key identity → (id, cluster_id).
 
     Build bipartite edges record→("col:value") for each non-null key,
-    run CC, then strip key nodes. Key nodes are prefixed so they sort
-    AFTER real ids and never become component minima... which cannot be
-    guaranteed for arbitrary ids — so instead the component label is
-    re-derived as min(record id) per component afterwards.
+    run CC, then label every record with the MIN record id of its
+    component (key nodes can't be guaranteed to sort after arbitrary
+    record ids, so the label is re-derived, never taken from CC).
+
+    Two physical shapes (identical output, both min-record-id):
+
+    * ≤ ``small_graph_cap`` edge rows — ONE limit(cap+1) collect and a
+      driver-side bipartite union-find that emits (record id, min
+      record id of component) directly as a broadcastable DataFrame.
+      Routing through connected_components here would probe+collect
+      the same edges a second time and then pay a distributed
+      groupBy+join just to turn component keys into min record ids —
+      pure overhead when the edge list already fits the driver
+      (measured: the r4 shape spent >0.5 s of or_key_clusters' 1.5 s
+      on exactly that).
+    * above the cap — the distributed star-join CC. With
+      ``hash_nodes`` (default) node ids ride CC's O(log n) rounds of
+      groupBy+join as 8-byte xxhash64 longs instead of full strings
+      (emails/urls 30–80 B — ~5× the per-round shuffle), the same
+      slim-id device as lsh.py's band shuffle; the original record
+      ids come back via one inner join on the hash, which also strips
+      key nodes (their hashes match no record id). Unlike LSH — where
+      a 64-bit collision only adds a candidate the exact verify
+      filters — a node-hash collision here would silently MERGE two
+      components, so the hashed node set is first screened with a
+      second-seed hash (one map-side-combinable agg over 16 B rows,
+      ~half a CC round's volume); a detected collision (P ≈ n²·2⁻⁶⁴ —
+      ~0.4 expected at 4×10⁹ nodes) falls back to the exact
+      string-node path.
     """
     edges = None
     for kc in key_cols:
@@ -100,13 +127,90 @@ def or_key_components(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFr
             F.concat(F.lit(f"\x01{kc}:"), F.col(kc).cast("string")).alias("v"),
         ).filter(F.col(kc).isNotNull() & (F.col(kc).cast("string") != ""))
         edges = e if edges is None else edges.union(e)
-    comp = connected_components(edges)
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.StringType()),
+        T.StructField("cluster_id", T.StringType()),
+    ])
+
+    if small_graph_cap > 0:
+        probe = edges.limit(small_graph_cap + 1).collect()
+        if len(probe) <= small_graph_cap:
+            return _bipartite_min_labels(
+                [(r["u"], r["v"]) for r in probe],
+                edges.sparkSession, out_schema,
+            )
+        del probe
+
+    if hash_nodes:
+        nodes = edges.select(F.col("u").alias("n")).union(
+            edges.select(F.col("v").alias("n"))
+        ).select(
+            F.xxhash64("n").alias("h1"),
+            F.xxhash64("n", F.lit(7)).alias("h2"),
+        )
+        collided = (
+            nodes.groupBy("h1")
+            .agg(F.count_distinct("h2").alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(1)
+            .count()
+        )
+        if collided == 0:
+            hedges = edges.select(
+                F.xxhash64("u").alias("u"), F.xxhash64("v").alias("v")
+            )
+            comp = connected_components(hedges, small_graph_cap=0)
+            records = df.select(
+                F.col(id_col).cast("string").alias("_rid")
+            ).distinct().select(
+                F.xxhash64("_rid").alias("u"), F.col("_rid")
+            ).join(comp, "u")
+            canon = records.groupBy("component").agg(
+                F.min("_rid").alias("cluster_id")
+            )
+            return (
+                records.join(canon, "component")
+                .select(F.col("_rid").alias(id_col), F.col("cluster_id"))
+            )
+
+    comp = connected_components(edges, small_graph_cap=0)
     records = comp.filter(~F.col("u").startswith("\x01"))
     canon = records.groupBy("component").agg(F.min("u").alias("cluster_id"))
     return (
         records.join(canon, "component")
         .select(F.col("u").alias(id_col), F.col("cluster_id"))
     )
+
+
+def _bipartite_min_labels(pairs: list[tuple], spark, schema) -> DataFrame:
+    """Driver union-find over bipartite (record, \\x01-key) edges →
+    (record id, min record id of component), broadcast-hinted. Same
+    min-per-component function as the distributed star-join fixpoint +
+    join-back — a well-defined function of the edge set, so the two
+    paths are bit-identical (pytest-pinned)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    records = {u for u, _ in pairs}
+    comp_min: dict = {}
+    for u in records:
+        r = find(u)
+        if r not in comp_min or u < comp_min[r]:
+            comp_min[r] = u
+    rows = [(u, comp_min[find(u)]) for u in sorted(records)]
+    return F.broadcast(spark.createDataFrame(rows, schema))
 
 
 def keep_best(

@@ -300,11 +300,15 @@ def run_incremental(new_web: DataFrame, catalog,
         matched.unionByName(near_intra).unionByName(intra_exact)
         .localCheckpoint(eager=True)
     )
+    # cheap (reads the checkpoint blocks just materialized); feeds the
+    # broadcast-hint gate below
+    n_edges = all_edges.count()
     # hint_broadcast_labels=False: comp lands on the PRESERVED left
     # side of the label-resolution left-outer join below, where an
     # embedded broadcast hint is invalid (Spark warns and drops it).
-    # AQE still converts the join to BHJ at runtime when the actual
-    # exchanged bytes of comp_labels allow it.
+    # The hint is instead applied at the one VALID use site (the inner
+    # label join below), and only when the edge count proves comp is
+    # broadcast-sized.
     comp = connected_components(all_edges.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ), hint_broadcast_labels=False)
@@ -315,15 +319,20 @@ def run_incremental(new_web: DataFrame, catalog,
     # two old labels take the min and count a bridge.
     # inner join, comp on the build side: the delta's component table
     # is bounded by the batch while old_label_set grows with the whole
-    # corpus — at 10^12-doc scale the small side must be comp, and an
-    # inner join (vs a left-outer preserving comp) lets AQE broadcast
-    # it. Components with no old label simply have no row here; the
+    # corpus — at 10^12-doc scale the small side must be comp. A
+    # normal increment (≤1M edges ⇒ comp ≤2M slim rows, the same
+    # bound as CC's fast-path cap) gets an explicit broadcast hint so
+    # the plan never starts as an SMJ; an arbitrarily large BACKFILL
+    # increment stays unhinted (a forced broadcast could not be
+    # sized), where AQE converts at runtime if comp turns out small.
+    # Components with no old label simply have no row here; the
     # left join below restores them with old_min = NULL.
     old_label_set = old_clusters.select(
         F.col("cluster_id").alias("u")
     ).distinct()
+    comp_build = F.broadcast(comp) if n_edges <= 1_000_000 else comp
     comp_labels = (
-        comp.join(old_label_set, "u")
+        comp_build.join(old_label_set, "u")
         .groupBy("component")
         .agg(
             F.min("u").alias("old_min"),

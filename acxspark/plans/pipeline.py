@@ -237,10 +237,16 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     # star edges (min-url ↔ member), not cliques: linear in group size,
     # so a pathological 10^6-copy boilerplate page costs 10^6 edges not
     # 10^12. CC collapses the star to one cluster identically.
-    hashed = docs.select("url", F.sha2(F.col(text_col), 256).alias("text_sha"))
-    # persisted: consumed by the exact-edge join AND the
-    # representatives semi-join below — without the cache the full
-    # corpus is sha2-hashed twice
+    # persisted: consumed by the sha_min groupBy AND the exact-edge
+    # join — without the cache the sha256 pass over the full corpus
+    # text runs once per consumer (the slim url+sha cache costs
+    # ~100 B/row; the recompute costs a full-corpus hash pass)
+    hashed = docs.select(
+        "url", F.sha2(F.col(text_col), 256).alias("text_sha")
+    ).persist()
+    caches.append(hashed)
+    # persisted: consumed by the exact-edge join, the representatives
+    # semi-join, and (catalog path) the signature-snapshot sha join
     sha_min = hashed.groupBy("text_sha").agg(F.min("url").alias("min_url"),
                                              F.count("*").alias("n")).persist()
     caches.append(sha_min)
@@ -284,8 +290,14 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
             # back also serves as the cache for this run. text_sha
             # rides along (32 B/row) so INCREMENTAL runs
             # (plans/incremental.py) can run the exact tier against
-            # this snapshot without touching old text.
-            catalog.write("signatures", sigs.join(hashed, "url"), meta=wmeta)
+            # this snapshot without touching old text. The sha column
+            # comes from the persisted sha_min (url → sha is
+            # functional and every sig row IS a min_url), never from a
+            # second corpus-wide hash projection.
+            rep_sha = sha_min.select(
+                F.col("min_url").alias("url"), "text_sha"
+            )
+            catalog.write("signatures", sigs.join(rep_sha, "url"), meta=wmeta)
             sigs = catalog.read(spark, "signatures")
             # membership artifact over the committed sha set: lets
             # every later INCREMENT (plans/incremental.py) answer

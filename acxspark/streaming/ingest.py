@@ -99,8 +99,18 @@ def fold_batch(batch_df: DataFrame, batch_id: int, catalog,
     # session's parallelism BEFORE the fold; safe because the whole
     # pipeline is partitioning-independent (checksums bit-identical
     # across 1..32 cores, BENCH/*.jsonl).
+    # ...but only when the batch is wide enough to amortize the
+    # shuffle: below ~4 rows/core the serial narrow scan beats moving
+    # every text byte through an exchange (the probe is one
+    # short-circuiting limit+count job over a batch we just proved
+    # non-empty, so it costs a few ms on exactly the batches where the
+    # repartition would have been waste).
     target = batch_df.sparkSession.sparkContext.defaultParallelism
-    if batch_df.rdd.getNumPartitions() < target:
+    floor = 4 * target
+    if (
+        batch_df.rdd.getNumPartitions() < target
+        and batch_df.limit(floor + 1).count() > floor
+    ):
         batch_df = batch_df.repartition(target)
     if not catalog.has("signatures"):
         # cold start: the first batch IS the corpus; run the full

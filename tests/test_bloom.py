@@ -91,6 +91,30 @@ def test_empty_shard_means_definite_no(frames, spark):
     assert flags.count() == new.select("key").distinct().count()
 
 
+def test_bloom_side_scan_pruned_to_delta_shards(frames, spark):
+    """The cogroup must scan only the shards the delta touches — not
+    the whole artifact (the O(|delta|) claim for the bitmap side)."""
+    from pyspark.sql import Observation
+
+    old, new, bloom = frames
+    # confine the delta to shards {0,1,2}: pick probe keys by shard
+    delta = new.filter(
+        F.pmod(F.xxhash64(F.col("key"), F.lit(2)), F.lit(N_SHARDS)) < 3
+    )
+    assert delta.count() > 0
+    obs = Observation()
+    flags = might_contain(delta, "key", bloom, N_SHARDS, observation=obs)
+    # correctness unchanged by the prune
+    members = delta.filter(F.col("doc_id") % 3 == 0).select("key")
+    assert members.join(
+        flags.filter(F.col("might_contain")), "key", "left_anti"
+    ).count() == 0
+    scanned = obs.get["bloom_shards_scanned"]
+    expected = bloom.filter(F.col("shard") < 3).count()
+    assert scanned == expected
+    assert scanned < N_SHARDS
+
+
 def test_oversized_shard_bitmap_raises(spark):
     df = spark.range(10).select(F.col("id").cast("string").alias("key"))
     with pytest.raises(ValueError, match="2\\^32"):

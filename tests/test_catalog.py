@@ -243,12 +243,101 @@ def test_iceberg_session_conf_wiring():
     assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]
 
 
+def test_iceberg_catalog_logic_with_double():
+    """IcebergSnapshotCatalog's OWN logic — fq name mangling, meta →
+    snapshot-property JSON encoding, latest_meta decode + newest-commit
+    selection, version = snapshot_id — pinned WITHOUT the runtime jar
+    via a pure-Python double of the exact Spark surface the class
+    touches (spark.sql / catalog.tableExists / df.writeTo). The
+    jar-gated roundtrip below stays as the DEPLOY gate for the real
+    Iceberg side (docs/SCALE.md checklist); this test makes the class
+    logic a tested component rather than a perpetual skip."""
+    from acxspark.catalog import IcebergSnapshotCatalog
+
+    committed: dict[str, list] = {}
+    clock = [0]
+
+    class FakeWriter:
+        def __init__(self, fq):
+            self.fq, self.opts, self.fmt = fq, {}, None
+
+        def using(self, fmt):
+            self.fmt = fmt
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def createOrReplace(self):
+            assert self.fmt == "iceberg"
+            clock[0] += 1
+            summary = {
+                k.removeprefix("snapshot-property."): v
+                for k, v in self.opts.items()
+            }
+            committed.setdefault(self.fq, []).append(
+                {"snapshot_id": 1000 + clock[0], "committed_at": clock[0],
+                 "summary": summary}
+            )
+
+    class FakeDF:
+        def writeTo(self, fq):
+            return FakeWriter(fq)
+
+    class FakeCatalogAPI:
+        def tableExists(self, fq):
+            return fq in committed
+
+    class FakeResult:
+        def __init__(self, rows):
+            self._rows = rows
+
+        def collect(self):
+            return self._rows
+
+    class FakeSpark:
+        catalog = FakeCatalogAPI()
+
+        def sql(self, q):
+            if q.startswith("CREATE NAMESPACE"):
+                return FakeResult([])
+            assert ".snapshots" in q and "committed_at DESC" in q
+            fq = q.split("FROM ")[1].split(".snapshots")[0]
+            newest = max(committed[fq], key=lambda s: s["committed_at"])
+            return FakeResult(
+                [{"snapshot_id": newest["snapshot_id"],
+                  "summary": newest["summary"]}]
+            )
+
+    cat = IcebergSnapshotCatalog(FakeSpark(), "acx", "t")
+    assert not cat.has("cc_edges-ab12-cd34")
+    v1 = cat.write("cc_edges-ab12-cd34", FakeDF(),
+                   meta={"n_docs": 10, "config": "fp",
+                         "checksum": [3, -7], "note": "x"})
+    # dashes mangle to underscores in the fq table name
+    assert cat.has("cc_edges-ab12-cd34")
+    assert "acx.t.cc_edges_ab12_cd34" in committed
+    m = cat.latest_meta("cc_edges-ab12-cd34")
+    # version = snapshot_id; meta values round-trip through JSON with
+    # their types (int stays int, list stays list)
+    assert m["version"] == v1 == 1001
+    assert m["n_docs"] == 10 and m["config"] == "fp"
+    assert m["checksum"] == [3, -7] and m["note"] == "x"
+    # a second commit wins latest_meta by committed_at
+    v2 = cat.write("cc_edges-ab12-cd34", FakeDF(), meta={"n_docs": 11})
+    m2 = cat.latest_meta("cc_edges-ab12-cd34")
+    assert m2["version"] == v2 == 1002 and m2["n_docs"] == 11
+
+
 import pytest as _pytest
 
 
 @_pytest.mark.skipif(
     not _iceberg_jar_present(),
-    reason="iceberg-spark-runtime jar not on the classpath (offline sandbox)",
+    reason="iceberg-spark-runtime jar not on the classpath (deploy "
+    "gate — see docs/SCALE.md Iceberg deployment checklist; the class "
+    "logic is pinned jar-free by test_iceberg_catalog_logic_with_double)",
 )
 def test_iceberg_catalog_roundtrip(tmp_path):
     """Full write/read/has/latest_meta + meta-stamp roundtrip against a

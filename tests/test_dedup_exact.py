@@ -58,6 +58,31 @@ def test_or_key_transitive_identity(spark):
     assert got["D"] == "D"
 
 
+def test_or_key_three_paths_identical(spark):
+    """Driver union-find (default), distributed CC on hashed long
+    nodes, and distributed CC on string nodes must produce identical
+    (id, cluster_id) labels — min record id per component is a
+    function of the edge set, not of the physical path."""
+    rows = [
+        (f"{i:04d}", f"e{i % 23}", f"p{i % 17}" if i % 5 else None)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["id", "email", "phone"])
+
+    def labels(**kw):
+        return sorted(
+            (r["id"], r["cluster_id"])
+            for r in or_key_components(df, "id", ["email", "phone"], **kw)
+            .collect()
+        )
+
+    fast = labels()
+    hashed = labels(small_graph_cap=0, hash_nodes=True)
+    strings = labels(small_graph_cap=0, hash_nodes=False)
+    assert fast == hashed == strings
+    assert len(fast) == 200
+
+
 def test_line_dedup_first_occurrence_across_corpus(spark):
     """CCNet/RefinedWeb-style line dedup: a line repeated across docs
     survives only at its first (id, pos) occurrence; blank lines are
