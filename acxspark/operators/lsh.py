@@ -91,7 +91,8 @@ def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
                     cfg: DedupConfig = DEFAULT_CONFIG,
                     salted: bool = True,
                     caches: list[DataFrame] | None = None,
-                    strategy: str = "bucket") -> DataFrame:
+                    strategy: str = "bucket",
+                    persist_bands: bool = True) -> DataFrame:
     """Distinct candidate (id_a < id_b) pairs from shared band keys.
 
     ``strategy="bucket"`` (default): group the capped band rows by
@@ -143,11 +144,17 @@ def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
     # band_idx is dropped before the persist (round 4): it exists only
     # inside the band-key hash — carrying it through the cache and
     # every shuffle paid 4-8 B × bands × corpus rows for nothing.
-    bk = track_cache(
-        band_keys(src, key_col, sig_col, cfg)
-        .select("band_key", key_col).persist(),
-        caches,
-    )
+    # persist_bands=False re-derives the explode from the caller's plan
+    # per consumer instead of caching band rows. MEASURED NEGATIVE on
+    # this host at bench scale (BENCH/r5_lsh_ab.json, 160k/32c): even
+    # with the signature frame persisted, recomputing the explode reads
+    # the WIDE sig cache (shingle arrays ride it) once per consumer —
+    # more DRAM traffic than the compact 16 B/row band cache it avoids
+    # (24.2 s vs 18.7 s). The default stays True; the knob remains for
+    # configs whose sig frame is slim (no shingles) or disk-backed.
+    bk = band_keys(src, key_col, sig_col, cfg).select("band_key", key_col)
+    if persist_bands:
+        bk = track_cache(bk.persist(), caches)
     if strategy == "bucket":
         # ONE full-volume shuffle total. Measured at 1.28M docs / 41M
         # band rows: ~90% of band keys are singletons, so an exact

@@ -138,7 +138,10 @@ def test_pair_strategies_identical(spark):
     bucket = {(r["id_a"], r["id_b"]) for r in
               candidate_pairs(sigs, "url", "minhash", cfg,
                               strategy="bucket").collect()}
-    assert plain == salted == bucket and len(plain) > 0
+    nobk = {(r["id_a"], r["id_b"]) for r in
+            candidate_pairs(sigs, "url", "minhash", cfg,
+                            strategy="bucket", persist_bands=False).collect()}
+    assert plain == salted == bucket == nobk and len(plain) > 0
 
 
 def test_bucket_pairs_respect_cap(spark):
