@@ -59,6 +59,20 @@ def test_pipeline_stage_level_resume(spark, tmp_path, monkeypatch):
     web = web.cache()
     res1 = P.run_pipeline(web, cfg=DedupConfig(), catalog=cat)
     c1 = sorted((r["url"], r["cluster_id"]) for r in res1.clusters.collect())
+    # one-sha2-scan device (round 5): the (url, text_sha) projection is
+    # persisted, so the exact tier AND the signature-snapshot sha join
+    # read the cache instead of re-hashing the corpus; and the snapshot
+    # sha column equals a fresh sha2 pass (contents unchanged)
+    assert any(
+        set(c.columns) == {"url", "text_sha"} and c.storageLevel.useMemory
+        for c in res1.caches
+    )
+    import pyspark.sql.functions as F
+    snap_sha = cat.read(spark, "signatures").select("url", "text_sha")
+    fresh_sha = web.select(
+        "url", F.sha2(F.col("text"), 256).alias("text_sha")
+    ).join(snap_sha.select("url"), "url", "left_semi")
+    assert snap_sha.exceptAll(fresh_sha).count() == 0
     res1.release()
     assert cat.has("signatures") and cat.has("edges")
 
