@@ -84,6 +84,17 @@ class DedupConfig:
     seed: int = 42
     # large-scale guards (reference 1 MiB record cap, storage.cpp:516)
     max_text_bytes: int = 1 << 20
+    # incremental-fold batch budget (streaming/ingest.fold_batch): the
+    # incremental plan force-broadcasts delta-sized tables (urls,
+    # band keys — ~32 longs/doc), which is only valid under its
+    # delta ≪ corpus contract; a single oversized micro-batch blows
+    # the driver's broadcast build (measured: a 1.28M-doc batch OOMs
+    # the BroadcastExchange at 8 cores while 320k folds fine).
+    # Batches above this row count are deterministically split by
+    # pmod(xxhash64(url), k) and folded as k sequential sub-batches —
+    # identical semantics to the source having delivered k files.
+    # 0 disables the split.
+    incr_max_batch_rows: int = 400_000
 
     def __post_init__(self) -> None:
         if self.num_perm != self.lsh_bands * self.lsh_rows:

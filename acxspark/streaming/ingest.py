@@ -124,11 +124,69 @@ def fold_batch(batch_df: DataFrame, batch_id: int, catalog,
     else:
         from acxspark.plans.incremental import run_incremental
 
-        res = run_incremental(batch_df, catalog, cfg=cfg,
-                              text_col=text_col,
-                              lineage_path=lineage_path,
-                              snapshot_meta=meta)
-        assignments, action = res.assignments, "increment"
+        # Enforce the incremental plan's delta ≪ corpus contract: it
+        # force-broadcasts delta-sized tables (urls, ~32 band keys per
+        # doc), so one oversized micro-batch — a backfill file, a
+        # burst crawl — blows the driver's BroadcastExchange build
+        # (measured: 1.28M docs OOM at 8 cores; 320k folds fine).
+        # Batches over cfg.incr_max_batch_rows are split by
+        # pmod(xxhash64(url), k) — deterministic in CONTENT, not
+        # partitioning — and folded as k sequential sub-increments:
+        # exactly what the committed state would look like had the
+        # source delivered k files. Exactly-once is preserved by
+        # stamping ingest_batch_id only on the LAST sub-fold's
+        # commits: a crash mid-split replays the whole batch, and
+        # re-folding the already-committed sub-batches is the layer-2
+        # idempotent path (committed docs exact-match their own copy
+        # and keep their frozen labels — row-identical re-commit).
+        budget = int(getattr(cfg, "incr_max_batch_rows", 0) or 0)
+        oversized = (
+            budget > 0 and batch_df.limit(budget + 1).count() > budget
+        )
+        if not oversized:
+            res = run_incremental(batch_df, catalog, cfg=cfg,
+                                  text_col=text_col,
+                                  lineage_path=lineage_path,
+                                  snapshot_meta=meta)
+            assignments, action = res.assignments, "increment"
+        else:
+            from pyspark.sql import functions as F
+
+            n_rows = batch_df.count()
+            k = -(-n_rows // budget)
+            grp = F.pmod(F.xxhash64("url"), F.lit(k))
+            # one cheap agg to find the non-empty groups, so the
+            # ledger stamp lands on the last sub-fold that COMMITS
+            sizes = {
+                r["g"]: r["n"]
+                for r in batch_df.groupBy(grp.alias("g")).count()
+                .withColumnRenamed("count", "n").collect()
+            }
+            groups = sorted(sizes)
+            total = 0
+            for j in groups:
+                sub = batch_df.filter(grp == j)
+                sub_meta = dict(meta) if j == groups[-1] else {
+                    "ingest_batch_part": f"{batch_id}/{j}"
+                }
+                sub_lineage = (
+                    str(Path(lineage_dir) / f"batch-{batch_id}-sub{j}.jsonl")
+                    if lineage_dir else None
+                )
+                res = run_incremental(sub, catalog, cfg=cfg,
+                                      text_col=text_col,
+                                      lineage_path=sub_lineage,
+                                      snapshot_meta=sub_meta)
+                total += res.assignments.count()
+                if out_dir:
+                    res.assignments.write.mode("append").parquet(
+                        str(Path(out_dir) / f"batch-{batch_id}")
+                    )
+                res.lineage.flush()
+                for df in res.caches or []:
+                    df.unpersist()
+            return {"batch_id": batch_id, "action": "increment_split",
+                    "n_docs": total, "n_subbatches": len(groups)}
 
     n = assignments.count()
     if out_dir:

@@ -157,3 +157,56 @@ def test_replay_after_partial_commit_is_idempotent(spark, tmp_path):
     snap = _clusters(spark, cat)
     for u, c in want.items():
         assert snap[u] == c
+
+
+def test_oversized_batch_splits_into_equivalent_subfolds(spark, tmp_path):
+    """A micro-batch over cfg.incr_max_batch_rows must fold as k
+    deterministic hash sub-batches (the incremental plan broadcasts
+    delta-sized tables, so an unbounded batch OOMs the broadcast
+    build at scale — measured at 1.28M docs / 8 cores). The committed
+    state must equal delivering the same hash groups as separate
+    batches, the ledger stamp must land only with the final sub-fold,
+    and a mid-split crash replay must converge to the same state."""
+    cfg = DedupConfig(incr_max_batch_rows=4)
+    base = spark.createDataFrame(INC0, SCHEMA)
+    delta_rows = INC1 + INC2                       # 6 docs > budget 4
+    delta = spark.createDataFrame(delta_rows, SCHEMA)
+    k = 2                                          # ceil(6 / 4)
+
+    # --- catalog A: one oversized batch, split internally ----------
+    cat_a = ParquetSnapshotCatalog(tmp_path / "a")
+    fold_batch(base, 0, cat_a, cfg=cfg)
+    s = fold_batch(delta, 1, cat_a, cfg=cfg)
+    assert s["action"] == "increment_split"
+    assert s["n_docs"] == len(delta_rows)
+    assert s["n_subbatches"] == k
+    # ledger stamp landed with the last sub-fold → replay skips
+    assert fold_batch(delta, 1, cat_a, cfg=cfg)["action"] \
+        == "skipped_replay"
+
+    # --- catalog B: the same hash groups as explicit batches -------
+    cat_b = ParquetSnapshotCatalog(tmp_path / "b")
+    fold_batch(base, 0, cat_b, cfg=cfg)
+    big = DedupConfig()                            # no split for subs
+    seen = 0
+    for bid, j in enumerate(range(k), start=1):
+        sub = delta.filter(F.pmod(F.xxhash64("url"), F.lit(k)) == j)
+        n_sub = sub.count()     # hash groups bound EXPECTED size, so a
+        seen += n_sub           # tiny-n group may overshoot the budget
+        if n_sub:
+            fold_batch(sub, bid, cat_b, cfg=big)
+    assert seen == len(delta_rows)
+    assert _clusters(spark, cat_a) == _clusters(spark, cat_b)
+
+    # --- catalog C: crash after sub-fold 0, replay the whole batch -
+    cat_c = ParquetSnapshotCatalog(tmp_path / "c")
+    fold_batch(base, 0, cat_c, cfg=cfg)
+    sub0 = delta.filter(F.pmod(F.xxhash64("url"), F.lit(k)) == 0)
+    r0 = run_incremental(sub0, cat_c, cfg=cfg,
+                         snapshot_meta={"ingest_batch_part": "1/0"})
+    for df in r0.caches:
+        df.unpersist()
+    # no ingest_batch_id stamp → the replayed batch is NOT skipped
+    s2 = fold_batch(delta, 1, cat_c, cfg=cfg)
+    assert s2["action"] == "increment_split"
+    assert _clusters(spark, cat_c) == _clusters(spark, cat_a)

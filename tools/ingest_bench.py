@@ -138,7 +138,8 @@ def main() -> None:
                 )
             ).collect()[0][0]
         )
-        incr = [r for r in records if r["action"] == "increment"]
+        incr = [r for r in records
+                if r["action"] in ("increment", "increment_split")]
         incr_sec = sum(r["sec"] for r in incr)
         line = {
             "parallelism": cpus,
