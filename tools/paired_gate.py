@@ -39,17 +39,33 @@ A_CORES = 1   # the "N" level
 B_CORES = 4   # the "4N" level
 
 
-def run_level(data: str, cpus: int) -> dict:
-    proc = subprocess.run(
-        [sys.executable, str(REPO / "tools" / "scaling_job.py"), data],
-        capture_output=True,
-        text=True,
-        env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
-        timeout=3600,
-    )
-    rec = json.loads(proc.stdout.strip().splitlines()[-1])
-    rec["t_end"] = round(time.time(), 1)
-    return rec
+def run_level(data: str, cpus: int, retries: int = 1) -> dict:
+    """One scaling_job subprocess; on empty stdout (a silently-dying
+    JVM was observed once on this host under heavy steal) log stderr
+    and retry rather than crash mid-run and lose the bracket."""
+    for attempt in range(retries + 1):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "scaling_job.py"), data],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
+            timeout=3600,
+        )
+        lines = proc.stdout.strip().splitlines()
+        if lines:
+            rec = json.loads(lines[-1])
+            if attempt:
+                rec["retried"] = attempt
+            rec["t_end"] = round(time.time(), 1)
+            return rec
+        print(
+            f"level {cpus}c attempt {attempt}: no stdout "
+            f"(rc={proc.returncode}); stderr tail: "
+            + " | ".join(proc.stderr.strip().splitlines()[-3:]),
+            file=sys.stderr,
+            flush=True,
+        )
+    raise RuntimeError(f"level {cpus}c produced no output after {retries + 1} attempts")
 
 
 def main() -> None:
