@@ -1,0 +1,352 @@
+"""``python -m acxspark`` — the reference's data-ops CLI surface on Spark.
+
+The reference ships as a CLI (``acx``, src/cli.cpp); its data-ops
+command list (cli.cpp:516-517: help JSON names ``hash report validate
+backup dedupe diff redact normalize merge sample grep checksum``) is
+the surface a switching user drives daily. This module exposes each of
+those as a thin argparse wrapper over the SAME library functions the
+contract queries already exercise — no new dataflow semantics live
+here, only argument plumbing:
+
+| command | reference | implementation |
+|---|---|---|
+| validate IN | cli.cpp validate (parallel line loop) | functions/validate.record_valid |
+| normalize IN | cli.cpp:376-396 | functions/normalize (trim name, lower email, phone digits) |
+| dedupe IN | cli.cpp:289-308 (first-wins by email, fallback whole line) | operators/dedup_exact.first_wins |
+| redact IN | cli.cpp:329-352 (mask email+phone) | plans/redact.redact_fields(variant="redact") |
+| scrub IN | cli.cpp scrub (policy redact to file) | plans/redact.scrub_text on ``note`` |
+| report IN | report cmd | count + distinct email |
+| diff A B | cli.cpp:309-328 (email set diff) | operators/relational.set_difference |
+| merge A B [...] | src/merge.cpp strategies | operators/relational.merge_prefer_* |
+| sample IN N | sample cmd | seeded hash-rank exact-N (queries.py device) |
+| grep IN PATTERN | grep cmd | rlike over chosen fields |
+| export IN OUT | storage.cpp:252-281 (sorted csv/tsv/jsonl) | io_paths.write_*_sorted |
+| import IN | import cmd (malformed dropped) | io_paths.read_jsonl(keep_corrupt=False) |
+| checksum FILE | checksum cmd | sha256 hex of file bytes |
+| sign FILE / verify-file FILE SIG | sign / verify-file | functions/backup.sign_file / verify_file_hmac |
+| dedupe-docs IN | (graft flagship) | plans/pipeline.run_pipeline over (url, text) |
+
+First-wins order for ``dedupe`` uses ``monotonically_increasing_id``
+over the JSONL scan as the ingest ordinal: for a line-based format the
+ids are ordered (partition id, offset-in-partition) and splits follow
+file offset order, so the ordinal reproduces the reference's
+sequential file order deterministically for a fixed input.
+
+Parallelism: ``ACX_THREADS`` (reference env, cli.cpp:507-511) or
+``SPARK_GRAFT_CPUS``; defaults to all cores.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark(app: str) -> SparkSession:
+    from acxspark.session import get_spark
+
+    par = os.environ.get("ACX_THREADS") or os.environ.get("SPARK_GRAFT_CPUS")
+    return get_spark(f"acx-{app}", parallelism=int(par) if par else None)
+
+
+def _read(spark: SparkSession, path: str, keep_corrupt: bool = True) -> DataFrame:
+    from acxspark.io_paths import read_csv, read_jsonl
+
+    if path.endswith(".csv"):
+        return read_csv(spark, path)
+    if path.endswith(".tsv"):
+        return read_csv(spark, path, sep="\t")
+    return read_jsonl(spark, path, keep_corrupt=keep_corrupt)
+
+
+def _write(df: DataFrame, path: str, fmt: str | None = None) -> None:
+    from acxspark.io_paths import write_csv_sorted, write_jsonl, write_tsv_sorted
+
+    fmt = fmt or ("csv" if path.endswith(".csv")
+                  else "tsv" if path.endswith(".tsv") else "jsonl")
+    if fmt == "csv":
+        write_csv_sorted(df.drop("_corrupt_record", "_ord"), path)
+    elif fmt == "tsv":
+        write_tsv_sorted(df.drop("_corrupt_record", "_ord"), path)
+    else:
+        write_jsonl(df.drop("_corrupt_record", "_ord"), path)
+
+
+def _emit(obj: dict) -> None:
+    print(json.dumps(obj))
+
+
+def cmd_validate(args, spark) -> int:
+    from acxspark.functions.validate import record_valid
+
+    df = _read(spark, args.input)
+    agg = df.select(
+        record_valid(F.col("name"), F.col("email")).alias("ok")
+    ).groupBy().agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("ok").cast("long")).alias("valid"),
+    ).collect()[0]
+    _emit({"total": agg["total"], "valid": agg["valid"] or 0,
+           "invalid": agg["total"] - (agg["valid"] or 0)})
+    return 0
+
+
+def cmd_normalize(args, spark) -> int:
+    from acxspark.functions.normalize import (norm_email,
+                                              phone_digits_keep_plus)
+
+    df = _read(spark, args.input)
+    out = df.withColumn("name", F.trim(F.col("name"))) \
+            .withColumn("email", norm_email(F.col("email"))) \
+            .withColumn("phone", phone_digits_keep_plus(F.col("phone")))
+    _write(out, args.out)
+    _emit({"normalized": out.count(), "out": args.out})
+    return 0
+
+
+def cmd_dedupe(args, spark) -> int:
+    """Reference ``acx dedupe`` (cli.cpp:289-308), line-faithful:
+    every surviving line is written VERBATIM (the reference streams
+    ``line`` through, never re-serializing), empty lines are skipped,
+    unparseable lines always survive (the catch branch never touches
+    the seen set), and the key is the email field when present else
+    the whole line. First-wins order = file order via the monotonic-id
+    ordinal over the text scan."""
+    from acxspark.operators.dedup_exact import first_wins
+
+    lines = (
+        spark.read.text(args.input)
+        .filter(F.col("value") != "")
+        .withColumn("_ord", F.monotonically_increasing_id())
+    )
+    parse_ok = F.try_parse_json(F.col("value")).isNotNull()
+    key = F.when(
+        parse_ok,
+        F.coalesce(
+            F.get_json_object(F.col("value"), f"$.{args.key}"),
+            F.col("value"),
+        ),
+    )  # unparseable → NULL key → first_wins keeps it unconditionally
+    kept = first_wins(lines.withColumn("_key", key), "_key", "_ord")
+    n_in, n_kept = lines.count(), kept.count()
+    kept.orderBy("_ord").select("value").write.mode("overwrite").text(args.out)
+    _emit({"kept": n_kept, "dropped": n_in - n_kept, "out": args.out})
+    return 0
+
+
+def cmd_redact(args, spark) -> int:
+    from acxspark.plans.redact import redact_fields
+
+    df = _read(spark, args.input)
+    out = redact_fields(df, {"email": "email", "phone": "phone"},
+                        variant="redact")
+    _write(out, args.out)
+    _emit({"redacted": out.count(), "out": args.out})
+    return 0
+
+
+def cmd_scrub(args, spark) -> int:
+    from acxspark.plans.redact import scrub_text
+
+    df = _read(spark, args.input)
+    out = scrub_text(df, text_col=args.field)
+    _write(out, args.out)
+    _emit({"scrubbed": out.count(), "out": args.out})
+    return 0
+
+
+def cmd_report(args, spark) -> int:
+    df = _read(spark, args.input)
+    agg = df.groupBy().agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_distinct(F.col("email")).alias("distinct_emails"),
+    ).collect()[0]
+    _emit({"total": agg["total"], "distinct_emails": agg["distinct_emails"]})
+    return 0
+
+
+def cmd_diff(args, spark) -> int:
+    from acxspark.operators.relational import set_difference
+
+    a = _read(spark, args.a).select("email").filter(F.col("email").isNotNull())
+    b = _read(spark, args.b).select("email").filter(F.col("email").isNotNull())
+    added = set_difference(b, a).count()
+    removed = set_difference(a, b).count()
+    _emit({"added": added, "removed": removed})
+    return 0
+
+
+def cmd_merge(args, spark) -> int:
+    from acxspark.operators.relational import (merge_prefer_existing,
+                                               merge_prefer_newer)
+
+    existing = _read(spark, args.a).drop("_corrupt_record")
+    incoming = _read(spark, args.b).drop("_corrupt_record")
+    if args.strategy == "prefer-newer":
+        out = merge_prefer_newer(existing, incoming, args.key, "created_at")
+    else:
+        out = merge_prefer_existing(existing, incoming, args.key)
+    _write(out.drop("src"), args.out)
+    _emit({"merged": out.count(), "out": args.out})
+    return 0
+
+
+def cmd_sample(args, spark) -> int:
+    # seeded hash-rank exact-N: deterministic at every parallelism
+    # (the queries.py reservoir_sample device)
+    df = _read(spark, args.input)
+    ranked = df.withColumn(
+        "_r", F.xxhash64(F.to_json(F.struct(*df.columns)), F.lit(args.seed))
+    ).orderBy("_r").limit(args.n).drop("_r")
+    _write(ranked, args.out)
+    _emit({"sampled": min(args.n, df.count()), "out": args.out})
+    return 0
+
+
+def cmd_grep(args, spark) -> int:
+    df = _read(spark, args.input)
+    fields = args.fields.split(",") if args.fields else \
+        [c for c in df.columns if c != "_corrupt_record"]
+    pred = None
+    for c in fields:
+        p = F.col(c).rlike(args.pattern)
+        pred = p if pred is None else (pred | p)
+    hits = df.filter(pred)
+    n = hits.count()
+    for row in hits.limit(args.limit).collect():
+        print(json.dumps({k: v for k, v in row.asDict().items()
+                          if k != "_corrupt_record" and v is not None}))
+    _emit({"matches": n})
+    return 0
+
+
+def cmd_export(args, spark) -> int:
+    df = _read(spark, args.input, keep_corrupt=False)
+    _write(df, args.out, fmt=args.format)
+    _emit({"exported": df.count(), "out": args.out})
+    return 0
+
+
+def cmd_import(args, spark) -> int:
+    df = _read(spark, args.input, keep_corrupt=False)
+    _write(df, args.out)
+    _emit({"imported": df.count(), "out": args.out})
+    return 0
+
+
+def cmd_checksum(args, _spark_unused=None) -> int:
+    h = hashlib.sha256()
+    with open(args.file, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    _emit({"file": args.file, "sha256": h.hexdigest()})
+    return 0
+
+
+def cmd_sign(args, _spark_unused=None) -> int:
+    from acxspark.functions.backup import sign_file
+
+    _emit({"file": args.file, "hmac_sha256": sign_file(args.file)})
+    return 0
+
+
+def cmd_verify_file(args, _spark_unused=None) -> int:
+    from acxspark.functions.backup import verify_file_hmac
+
+    ok = verify_file_hmac(args.file, args.sig)
+    _emit({"file": args.file, "ok": ok})
+    return 0 if ok else 1
+
+
+def cmd_dedupe_docs(args, spark) -> int:
+    from acxspark.config import DedupConfig
+    from acxspark.io_paths import read_jsonl, write_jsonl
+    from acxspark.plans.pipeline import run_pipeline
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("url", T.StringType()),
+                           T.StructField("text", T.StringType())])
+    docs = read_jsonl(spark, args.input, schema=schema,
+                      keep_corrupt=False)
+    res = run_pipeline(docs, DedupConfig())
+    n_in, n_out = docs.count(), res.survivors.count()
+    write_jsonl(res.survivors.select("url", "text"), args.out)
+    res.release()
+    _emit({"docs": n_in, "survivors": n_out, "dropped": n_in - n_out,
+           "out": args.out})
+    return 0
+
+
+_NO_SPARK = {"checksum", "sign", "verify-file"}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m acxspark",
+        description="Spark-native twin of the acx data-ops CLI",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, fn, *specs):
+        sp = sub.add_parser(name)
+        for flags, kw in specs:
+            sp.add_argument(*flags, **kw)
+        sp.set_defaults(fn=fn)
+        return sp
+
+    IN = (["input"], {})
+    OUT = lambda d: (["--out"], {"default": d})  # noqa: E731
+    add("validate", cmd_validate, IN)
+    add("normalize", cmd_normalize, IN, OUT("acx-normalized.jsonl"))
+    add("dedupe", cmd_dedupe, IN, OUT("acx-dedupe.jsonl"),
+        (["--key"], {"default": "email"}))
+    add("redact", cmd_redact, IN, OUT("acx-redacted.jsonl"))
+    add("scrub", cmd_scrub, IN, OUT("acx-scrubbed.jsonl"),
+        (["--field"], {"default": "note"}))
+    add("report", cmd_report, IN)
+    add("diff", cmd_diff, (["a"], {}), (["b"], {}))
+    add("merge", cmd_merge, (["a"], {}), (["b"], {}),
+        OUT("acx-merged.jsonl"), (["--key"], {"default": "id"}),
+        (["--strategy"], {"default": "prefer-newer",
+                          "choices": ["prefer-newer", "prefer-existing"]}))
+    add("sample", cmd_sample, IN, (["n"], {"type": int}),
+        OUT("acx-sample.jsonl"), (["--seed"], {"type": int, "default": 42}))
+    add("grep", cmd_grep, IN, (["pattern"], {}),
+        (["--fields"], {"default": None}),
+        (["--limit"], {"type": int, "default": 20}))
+    add("export", cmd_export, IN, (["out"], {}),
+        (["--format"], {"default": None,
+                        "choices": [None, "csv", "tsv", "jsonl"]}))
+    add("import", cmd_import, IN, OUT("acx-imported.jsonl"))
+    add("checksum", cmd_checksum, (["file"], {}))
+    add("sign", cmd_sign, (["file"], {}))
+    add("verify-file", cmd_verify_file, (["file"], {}), (["sig"], {}))
+    add("dedupe-docs", cmd_dedupe_docs, IN, OUT("acx-dedupe-docs.jsonl"))
+    return p
+
+
+def main(argv: list[str] | None = None,
+         spark: SparkSession | None = None) -> int:
+    """``spark`` may be injected (tests reuse the session fixture);
+    otherwise one is built per invocation."""
+    args = build_parser().parse_args(argv)
+    if args.cmd in _NO_SPARK:
+        return args.fn(args)
+    own = spark is None
+    if own:
+        spark = _spark(args.cmd)
+    try:
+        return args.fn(args, spark)
+    finally:
+        if own:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,8 +27,22 @@ def norm_email(col) -> Column:
 
 
 def phone_digits(col) -> Column:
-    """Strip every non-digit (reference src/cli.cpp:374)."""
+    """Strip every non-digit (the digits-only kernel normalize_phone
+    builds on, reference src/validation.cpp:71-89)."""
     return F.regexp_replace(_c(col), r"[^0-9]", "")
+
+
+def phone_digits_keep_plus(col) -> Column:
+    """The reference CLI's normalize helper, exact (src/cli.cpp:374:
+    keep ``c`` when ``isdigit(c) || (c=='+' && o.empty())``): digits
+    only, plus a single leading ``+`` when a ``+`` precedes every
+    digit — i.e. the first digit-or-plus character in the input is
+    ``+``."""
+    col = _c(col)
+    d = phone_digits(col)
+    return F.when(
+        col.rlike(r"^[^0-9+]*\+"), F.concat(F.lit("+"), d)
+    ).otherwise(d)
 
 
 def normalize_phone(col, default_country: str = "US") -> Column:

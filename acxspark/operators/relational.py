@@ -121,8 +121,14 @@ def diff_by_key(
 
 def set_difference(a: DataFrame, b: DataFrame) -> DataFrame:
     """Distinct rows of a not present in b (reference std::set_difference
-    diff of email sets, src/cli.cpp:318-321)."""
-    return a.exceptAll(b.distinct()).distinct()
+    diff of email sets, src/cli.cpp:318-321 — pure SET semantics: the
+    reference loads each side into a std::set first).
+
+    ``subtract`` is SQL EXCEPT (distinct), which matches. The previous
+    ``exceptAll(b.distinct()).distinct()`` form subtracted per
+    OCCURRENCE, so a row appearing twice in ``a`` and once in ``b``
+    wrongly survived."""
+    return a.subtract(b)
 
 
 # ------------------------------------------------- nested history/tags
