@@ -240,6 +240,105 @@ def cmd_import(args, spark) -> int:
     return 0
 
 
+def cmd_search(args, spark) -> int:
+    """Reference conjunctive per-field search (src/storage.cpp:235-250):
+    --name/--email case-insensitive substring, --phone normalized-digit
+    substring, --id exact; all given filters AND together."""
+    from acxspark.functions.normalize import normalize_phone
+
+    df = _read(spark, args.input)
+    pred = F.lit(True)
+    if args.name:
+        pred &= F.lower(F.col("name")).contains(args.name.lower())
+    if args.email:
+        pred &= F.lower(F.col("email")).contains(args.email.lower())
+    if args.phone:
+        import re
+
+        want = re.sub(r"[^0-9+]", "", args.phone)
+        pred &= normalize_phone(F.col("phone")).contains(want)
+    if args.id:
+        pred &= F.col("id") == args.id
+    hits = df.filter(pred)
+    n = hits.count()
+    for row in hits.limit(args.limit).collect():
+        print(json.dumps({k: v for k, v in row.asDict().items()
+                          if k != "_corrupt_record" and v is not None}))
+    _emit({"matches": n})
+    return 0
+
+
+def cmd_prune(args, spark) -> int:
+    """Reference prune (cli.cpp:960-966): drop records with
+    ``created_at < --before`` (lexicographic ISO compare, exactly the
+    reference's string ``<``); --dry-run only reports the count."""
+    df = _read(spark, args.input)
+    # absent created_at is "" in the reference model (Contact never
+    # holds null) and "" < any date string, so such rows are pruned
+    kept = df.filter(
+        F.coalesce(F.col("created_at"), F.lit("")) >= args.before
+    )
+    n_removed = df.count() - kept.count()
+    if args.dry_run:
+        _emit({"would_remove": n_removed})
+        return 0
+    _write(kept, args.out)
+    _emit({"removed": n_removed, "out": args.out})
+    return 0
+
+
+def cmd_list(args, spark) -> int:
+    df = _read(spark, args.input, keep_corrupt=False)
+    for row in df.orderBy("id").limit(args.limit).collect():
+        print(json.dumps({k: v for k, v in row.asDict().items()
+                          if v is not None}))
+    return 0
+
+
+def cmd_schema(args, _spark_unused=None) -> int:
+    from acxspark.io_paths import CONTACT_FULL_SCHEMA
+
+    print(CONTACT_FULL_SCHEMA.json())
+    return 0
+
+
+def cmd_keygen(args, _spark_unused=None) -> int:
+    from acxspark.functions.aescrypt import random_key_hex
+
+    _emit({"key_hex": random_key_hex()})
+    return 0
+
+
+def cmd_encrypt(args, _spark_unused=None) -> int:
+    from acxspark.functions.aescrypt import encrypt_file_aes256gcm
+
+    encrypt_file_aes256gcm(args.file, args.out, args.key)
+    _emit({"out": args.out})
+    return 0
+
+
+def cmd_decrypt(args, _spark_unused=None) -> int:
+    from acxspark.functions.aescrypt import decrypt_file_aes256gcm
+
+    decrypt_file_aes256gcm(args.file, args.out, args.key)
+    _emit({"out": args.out})
+    return 0
+
+
+def cmd_determinism_check(args, spark) -> int:
+    """Reference determinism-check (src/selftest.cpp:50-69): export →
+    reimport → diff must be empty."""
+    import tempfile
+
+    from acxspark.io_paths import export_roundtrip_ok
+
+    df = _read(spark, args.input, keep_corrupt=False)
+    with tempfile.TemporaryDirectory() as tmp:
+        ok = export_roundtrip_ok(spark, df.na.fill(""), tmp)
+    _emit({"deterministic": ok})
+    return 0 if ok else 1
+
+
 def cmd_checksum(args, _spark_unused=None) -> int:
     h = hashlib.sha256()
     with open(args.file, "rb") as f:
@@ -283,7 +382,8 @@ def cmd_dedupe_docs(args, spark) -> int:
     return 0
 
 
-_NO_SPARK = {"checksum", "sign", "verify-file"}
+_NO_SPARK = {"checksum", "sign", "verify-file", "schema", "keygen",
+             "encrypt", "decrypt"}
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -324,6 +424,21 @@ def build_parser() -> argparse.ArgumentParser:
         (["--format"], {"default": None,
                         "choices": [None, "csv", "tsv", "jsonl"]}))
     add("import", cmd_import, IN, OUT("acx-imported.jsonl"))
+    add("search", cmd_search, IN,
+        (["--name"], {"default": None}), (["--email"], {"default": None}),
+        (["--phone"], {"default": None}), (["--id"], {"default": None}),
+        (["--limit"], {"type": int, "default": 20}))
+    add("prune", cmd_prune, IN, (["--before"], {"required": True}),
+        OUT("acx-pruned.jsonl"),
+        (["--dry-run"], {"action": "store_true"}))
+    add("list", cmd_list, IN, (["--limit"], {"type": int, "default": 20}))
+    add("schema", cmd_schema)
+    add("keygen", cmd_keygen)
+    add("encrypt", cmd_encrypt, (["file"], {}), (["out"], {}),
+        (["--key"], {"required": True}))
+    add("decrypt", cmd_decrypt, (["file"], {}), (["out"], {}),
+        (["--key"], {"required": True}))
+    add("determinism-check", cmd_determinism_check, IN)
     add("checksum", cmd_checksum, (["file"], {}))
     add("sign", cmd_sign, (["file"], {}))
     add("verify-file", cmd_verify_file, (["file"], {}), (["sig"], {}))

@@ -182,6 +182,12 @@ def write_csv_sorted(df: DataFrame, path: str, sep: str = ",") -> None:
         .option("sep", sep)
         .option("quote", '"')
         .option("escape", '"')
+        # Spark's CSV WRITER trims field whitespace by default
+        # (ignore*WhiteSpace default true on write, false on read) —
+        # the reference's csv_escape preserves bytes exactly
+        # (src/storage.cpp:252-260), so a padded name must round-trip
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
         .csv(path)
     )
 

@@ -222,6 +222,60 @@ def test_checksum_sign_verify(capsys, tmp_path, monkeypatch):
     assert rc == 1 and msgs[-1]["ok"] is False
 
 
+def test_search_conjunctive(spark, capsys, contacts_jsonl):
+    rc, msgs = run_cli(spark, capsys, "search", str(contacts_jsonl),
+                       "--name", "ada", "--email", "ADA@")
+    assert rc == 0
+    assert msgs[-1]["matches"] == 2  # Ada + Ada Clone (ci substrings AND)
+    rc, msgs = run_cli(spark, capsys, "search", str(contacts_jsonl),
+                       "--name", "ada", "--id", "3")
+    assert msgs[-1]["matches"] == 1
+
+
+def test_prune_before(spark, capsys, contacts_jsonl, tmp_path):
+    rc, msgs = run_cli(spark, capsys, "prune", str(contacts_jsonl),
+                       "--before", "2026-01-03", "--dry-run")
+    assert rc == 0
+    # removed: bob (01-01), ada-clone (01-02), bob dup line, and the
+    # two corrupt rows (created_at "" < cut, reference model semantics)
+    assert msgs[-1]["would_remove"] == 5
+    out = str(tmp_path / "pruned")
+    rc, msgs = run_cli(spark, capsys, "prune", str(contacts_jsonl),
+                       "--before", "2026-01-03", "--out", out)
+    assert rc == 0 and msgs[-1]["removed"] == 5
+
+
+def test_keygen_encrypt_decrypt_roundtrip(capsys, tmp_path):
+    rc, msgs = run_cli(None, capsys, "keygen")
+    assert rc == 0
+    key = msgs[-1]["key_hex"]
+    assert len(key) == 64
+
+    src = tmp_path / "plain.jsonl"
+    src.write_bytes(b'{"id":"1"}\n' * 10)
+    enc, dec = str(tmp_path / "c.acxeg"), str(tmp_path / "plain2.jsonl")
+    rc, _ = run_cli(None, capsys, "encrypt", str(src), enc, "--key", key)
+    assert rc == 0
+    assert Path(enc).read_bytes()[:6] != src.read_bytes()[:6]
+    rc, _ = run_cli(None, capsys, "decrypt", enc, dec, "--key", key)
+    assert rc == 0
+    assert Path(dec).read_bytes() == src.read_bytes()
+
+
+def test_schema_and_list(spark, capsys, contacts_jsonl):
+    rc, msgs = run_cli(None, capsys, "schema")
+    assert rc == 0 and "email" in json.dumps(msgs[-1])
+    rc, _ = run_cli(spark, capsys, "list", str(contacts_jsonl),
+                    "--limit", "2")
+    assert rc == 0
+
+
+def test_determinism_check(spark, capsys, contacts_jsonl):
+    rc, msgs = run_cli(spark, capsys, "determinism-check",
+                       str(contacts_jsonl))
+    assert rc == 0 and msgs[-1]["deterministic"] is True
+
+
 def test_dedupe_docs_pipeline(spark, capsys, tmp_path):
     docs = [{"url": f"http://ex.com/{i}", "text": f"unique page {i} " * 30}
             for i in range(8)]
