@@ -240,6 +240,165 @@ def cmd_import(args, spark) -> int:
     return 0
 
 
+def _audit(args, action: str, rec_id: str) -> None:
+    """Reference st.append_audit parity (storage.cpp:153-156): one
+    ``ts,ACTION,id,user`` line appended per mutation, to --audit or
+    ``<out>.audit``."""
+    import time
+
+    path = args.audit or f"{args.out}.audit"
+    ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    with open(path, "a") as f:
+        f.write(f"{ts},{action},{rec_id},{args.user}\n")
+
+
+def _contacts_full(spark, path: str):
+    from acxspark.io_paths import CONTACT_FULL_SCHEMA, read_jsonl
+
+    return read_jsonl(spark, path, schema=CONTACT_FULL_SCHEMA,
+                      keep_corrupt=False)
+
+
+def cmd_add(args, spark) -> int:
+    """Reference add_contact (storage.cpp:116-158): validate name /
+    email / phone, reject duplicate normalized email or phone, store
+    lowercased email + normalized phone, stamp created_at and a
+    'created' history entry, audit CREATE. The id is the repo's
+    content-deterministic UUID-shaped id (functions/crypto.py) rather
+    than the reference's random uuid_v4 — re-runs agree, shape
+    identical."""
+    from acxspark.functions import validate as V
+    from acxspark.functions.crypto import deterministic_id, now_iso8601_utc
+    from acxspark.functions.normalize import norm_email, normalize_phone
+    from acxspark.io_paths import write_jsonl
+    from acxspark.operators.relational import history_entry
+
+    df = _contacts_full(spark, args.input)
+    new = spark.createDataFrame(
+        [(args.name, args.email, args.phone, args.note or "")],
+        "name string, email string, phone string, note string",
+    )
+    chk = new.select(
+        V.is_valid_name("name").alias("vn"),
+        V.is_valid_email("email").alias("ve"),
+        V.is_valid_phone("phone").alias("vp"),
+        norm_email(F.col("email")).alias("ne"),
+        normalize_phone(F.col("phone")).alias("np"),
+    ).first()
+    for ok, err in ((chk["vn"], "Invalid name"), (chk["ve"], "Invalid email"),
+                    (chk["vp"], "Invalid phone")):
+        if not ok:
+            print(f"ERROR: {err}", file=sys.stderr)
+            return 1
+    dup = df.filter(
+        (norm_email(F.col("email")) == chk["ne"])
+        | (normalize_phone(F.col("phone")) == chk["np"])
+    ).limit(1).count()
+    if dup:
+        print("ERROR: Email or phone already exists", file=sys.stderr)
+        return 1
+    row = new.select(
+        deterministic_id(F.concat_ws("\x01", "email", "phone")).alias("id"),
+        F.col("name"),
+        F.lit(chk["ne"]).alias("email"),
+        F.lit(chk["np"]).alias("phone"),
+        F.col("note"),
+        now_iso8601_utc().alias("created_at"),
+        F.lit(None).cast("string").alias("country"),
+        F.array().cast("array<string>").alias("tags"),
+        F.array(
+            history_entry(now_iso8601_utc(), args.user, "created")
+        ).alias("history"),
+    )
+    new_id = row.first()["id"]
+    write_jsonl(df.unionByName(row), args.out)
+    _audit(args, "CREATE", new_id)
+    _emit({"created": new_id, "out": args.out})
+    return 0
+
+
+def cmd_edit(args, spark) -> int:
+    """Reference edit_contact (storage.cpp:161-192): per-field
+    validate + cross-record uniqueness (skipping the edited id),
+    email lowercased / phone normalized on write, 'updated' history
+    entry appended, audit UPDATE."""
+    from acxspark.functions import validate as V
+    from acxspark.functions.crypto import now_iso8601_utc
+    from acxspark.functions.normalize import norm_email, normalize_phone
+    from acxspark.io_paths import write_jsonl
+    from acxspark.operators.relational import append_history
+
+    df = _contacts_full(spark, args.input)
+    if df.filter(F.col("id") == args.id).limit(1).count() == 0:
+        print("ERROR: Not found", file=sys.stderr)
+        return 1
+    lit1 = lambda v: F.lit(v)  # noqa: E731
+    for field, valid, err in (
+        (args.name, V.is_valid_name, "Invalid name"),
+        (args.email, V.is_valid_email, "Invalid email"),
+        (args.phone, V.is_valid_phone, "Invalid phone"),
+    ):
+        if field is not None and not spark.range(1).select(
+            valid(lit1(field)).alias("v")
+        ).first()["v"]:
+            print(f"ERROR: {err}", file=sys.stderr)
+            return 1
+    is_target = F.col("id") == args.id
+    out = df
+    if args.email is not None:
+        ne = spark.range(1).select(
+            norm_email(lit1(args.email)).alias("v")).first()["v"]
+        if df.filter(~is_target
+                     & (norm_email(F.col("email")) == ne)).limit(1).count():
+            print("ERROR: Email already exists", file=sys.stderr)
+            return 1
+        out = out.withColumn("email", F.when(is_target, ne)
+                             .otherwise(F.col("email")))
+    if args.phone is not None:
+        np_ = spark.range(1).select(
+            normalize_phone(lit1(args.phone)).alias("v")).first()["v"]
+        if df.filter(~is_target & (normalize_phone(F.col("phone")) == np_)
+                     ).limit(1).count():
+            print("ERROR: Phone already exists", file=sys.stderr)
+            return 1
+        out = out.withColumn("phone", F.when(is_target, np_)
+                             .otherwise(F.col("phone")))
+    if args.name is not None:
+        out = out.withColumn("name", F.when(is_target, F.lit(args.name))
+                             .otherwise(F.col("name")))
+    if args.note is not None:
+        out = out.withColumn("note", F.when(is_target, F.lit(args.note))
+                             .otherwise(F.col("note")))
+    out = out.withColumn(
+        "history",
+        F.when(is_target, append_history(
+            F.col("history"), now_iso8601_utc(), args.user, "updated"
+        )).otherwise(F.col("history")),
+    )
+    write_jsonl(out, args.out)
+    _audit(args, "UPDATE", args.id)
+    _emit({"updated": args.id, "out": args.out})
+    return 0
+
+
+def cmd_delete(args, spark) -> int:
+    """Reference delete (cli.cpp:712-719): requires --yes; audit
+    DELETE."""
+    from acxspark.io_paths import write_jsonl
+
+    if not args.yes:
+        print("Confirm with --yes", file=sys.stderr)
+        return 1
+    df = _contacts_full(spark, args.input)
+    if df.filter(F.col("id") == args.id).limit(1).count() == 0:
+        print("ERROR: Not found", file=sys.stderr)
+        return 1
+    write_jsonl(df.filter(F.col("id") != args.id), args.out)
+    _audit(args, "DELETE", args.id)
+    _emit({"deleted": args.id, "out": args.out})
+    return 0
+
+
 def cmd_search(args, spark) -> int:
     """Reference conjunctive per-field search (src/storage.cpp:235-250):
     --name/--email case-insensitive substring, --phone normalized-digit
@@ -424,6 +583,19 @@ def build_parser() -> argparse.ArgumentParser:
         (["--format"], {"default": None,
                         "choices": [None, "csv", "tsv", "jsonl"]}))
     add("import", cmd_import, IN, OUT("acx-imported.jsonl"))
+    USER = (["--user"], {"default": "cli"})
+    AUDIT = (["--audit"], {"default": None})
+    add("add", cmd_add, IN, OUT("acx-data.jsonl"),
+        (["--name"], {"required": True}), (["--email"], {"required": True}),
+        (["--phone"], {"required": True}), (["--note"], {"default": ""}),
+        USER, AUDIT)
+    add("edit", cmd_edit, IN, OUT("acx-data.jsonl"),
+        (["--id"], {"required": True}), (["--name"], {"default": None}),
+        (["--email"], {"default": None}), (["--phone"], {"default": None}),
+        (["--note"], {"default": None}), USER, AUDIT)
+    add("delete", cmd_delete, IN, OUT("acx-data.jsonl"),
+        (["--id"], {"required": True}),
+        (["--yes"], {"action": "store_true"}), USER, AUDIT)
     add("search", cmd_search, IN,
         (["--name"], {"default": None}), (["--email"], {"default": None}),
         (["--phone"], {"default": None}), (["--id"], {"default": None}),

@@ -222,6 +222,61 @@ def test_checksum_sign_verify(capsys, tmp_path, monkeypatch):
     assert rc == 1 and msgs[-1]["ok"] is False
 
 
+def test_add_edit_delete_lifecycle(spark, capsys, tmp_path):
+    base = tmp_path / "book.jsonl"
+    base.write_text(json.dumps(CONTACTS[1]) + "\n")
+    audit = str(tmp_path / "audit.log")
+
+    out1 = str(tmp_path / "v1")
+    rc, msgs = run_cli(spark, capsys, "add", str(base), "--out", out1,
+                       "--name", "Carol Jones",
+                       "--email", "Carol@Example.com",
+                       "--phone", "+1 555 010 0042", "--audit", audit)
+    assert rc == 0
+    new_id = msgs[-1]["created"]
+    rows = [json.loads(l) for l in _read_text_dir(out1) if l]
+    carol = next(r for r in rows if r["id"] == new_id)
+    assert carol["email"] == "carol@example.com"        # lowercased
+    assert carol["phone"].startswith("+")               # normalized
+    assert carol["history"][0]["action"] == "created"
+
+    # duplicate normalized email rejected (reference email_exists)
+    rc, _ = run_cli(spark, capsys, "add", out1, "--out", str(tmp_path / "x"),
+                    "--name", "Carol Two", "--email", "CAROL@example.com",
+                    "--phone", "+1 555 010 0099", "--audit", audit)
+    assert rc == 1
+
+    # invalid name rejected
+    rc, _ = run_cli(spark, capsys, "add", out1, "--out", str(tmp_path / "x"),
+                    "--name", "X", "--email", "x@example.com",
+                    "--phone", "+1 555 010 0098", "--audit", audit)
+    assert rc == 1
+
+    out2 = str(tmp_path / "v2")
+    rc, _ = run_cli(spark, capsys, "edit", out1, "--out", out2,
+                    "--id", new_id, "--name", "Carol J Smith",
+                    "--audit", audit)
+    assert rc == 0
+    rows = [json.loads(l) for l in _read_text_dir(out2) if l]
+    carol = next(r for r in rows if r["id"] == new_id)
+    assert carol["name"] == "Carol J Smith"
+    assert [h["action"] for h in carol["history"]] == ["created", "updated"]
+
+    out3 = str(tmp_path / "v3")
+    rc, _ = run_cli(spark, capsys, "delete", out2, "--out", out3,
+                    "--id", new_id, "--audit", audit)
+    assert rc == 1  # no --yes
+    rc, _ = run_cli(spark, capsys, "delete", out2, "--out", out3,
+                    "--id", new_id, "--yes", "--audit", audit)
+    assert rc == 0
+    rows = [json.loads(l) for l in _read_text_dir(out3) if l]
+    assert all(r["id"] != new_id for r in rows)
+
+    actions = [l.split(",")[1] for l in
+               Path(audit).read_text().splitlines()]
+    assert actions == ["CREATE", "UPDATE", "DELETE"]
+
+
 def test_search_conjunctive(spark, capsys, contacts_jsonl):
     rc, msgs = run_cli(spark, capsys, "search", str(contacts_jsonl),
                        "--name", "ada", "--email", "ADA@")
