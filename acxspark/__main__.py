@@ -522,6 +522,39 @@ def cmd_verify_file(args, _spark_unused=None) -> int:
     return 0 if ok else 1
 
 
+def cmd_selftest(args, spark) -> int:
+    """Reference selftest (src/selftest.cpp, cli.cpp:968): exercise
+    the engine end-to-end on synthetic data and print one JSON
+    verdict. Here: a seeded corpus with planted duplicates through the
+    full near-dup pipeline — gate on planted-pair recall and run-to-
+    run determinism (two runs, identical cluster assignments)."""
+    from acxspark.config import DedupConfig
+    from acxspark.corpus import generate, to_spark
+    from acxspark.plans.pipeline import run_pipeline
+
+    web, tp, _tc = to_spark(spark, generate(n_docs=args.docs,
+                                            seed=args.seed))
+    labels = []
+    for _ in range(2):
+        res = run_pipeline(web, cfg=DedupConfig(), use_extract=True)
+        labels.append({r["url"]: r["cluster_id"]
+                       for r in res.clusters.collect()})
+        res.release()
+    pairs = tp.select("url_a", "url_b").collect()
+    hit = sum(labels[0][r["url_a"]] == labels[0][r["url_b"]]
+              for r in pairs)
+    recall = hit / len(pairs) if pairs else 1.0
+    verdict = {
+        "docs": args.docs,
+        "planted_pairs": len(pairs),
+        "recall": round(recall, 4),
+        "deterministic": labels[0] == labels[1],
+        "ok": recall >= 0.99 and labels[0] == labels[1],
+    }
+    _emit(verdict)
+    return 0 if verdict["ok"] else 1
+
+
 def cmd_dedupe_docs(args, spark) -> int:
     from acxspark.config import DedupConfig
     from acxspark.io_paths import read_jsonl, write_jsonl
@@ -614,6 +647,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("checksum", cmd_checksum, (["file"], {}))
     add("sign", cmd_sign, (["file"], {}))
     add("verify-file", cmd_verify_file, (["file"], {}), (["sig"], {}))
+    add("selftest", cmd_selftest,
+        (["--docs"], {"type": int, "default": 300}),
+        (["--seed"], {"type": int, "default": 13}))
     add("dedupe-docs", cmd_dedupe_docs, IN, OUT("acx-dedupe-docs.jsonl"))
     return p
 

@@ -331,6 +331,14 @@ def test_determinism_check(spark, capsys, contacts_jsonl):
     assert rc == 0 and msgs[-1]["deterministic"] is True
 
 
+def test_selftest(spark, capsys):
+    rc, msgs = run_cli(spark, capsys, "selftest", "--docs", "200")
+    assert rc == 0
+    v = msgs[-1]
+    assert v["ok"] is True and v["deterministic"] is True
+    assert v["recall"] >= 0.99
+
+
 def test_dedupe_docs_pipeline(spark, capsys, tmp_path):
     docs = [{"url": f"http://ex.com/{i}", "text": f"unique page {i} " * 30}
             for i in range(8)]
