@@ -11,9 +11,9 @@ here, only argument plumbing:
 | command | reference | implementation |
 |---|---|---|
 | validate IN | cli.cpp validate (parallel line loop) | functions/validate.record_valid |
-| normalize IN | cli.cpp:376-396 | functions/normalize (trim name, lower email, phone digits) |
+| normalize IN | cli.cpp:376-396 | functions/lineops.normalize_lines (line-faithful: corrupt lines verbatim) |
 | dedupe IN | cli.cpp:289-308 (first-wins by email, fallback whole line) | operators/dedup_exact.first_wins |
-| redact IN | cli.cpp:329-352 (mask email+phone) | plans/redact.redact_fields(variant="redact") |
+| redact IN | cli.cpp:329-352 (mask email+phone) | functions/lineops.redact_lines (line-faithful) |
 | scrub IN | cli.cpp scrub (policy redact to file) | plans/redact.scrub_text on ``note`` |
 | report IN | report cmd | count + distinct email |
 | diff A B | cli.cpp:309-328 (email set diff) | operators/relational.set_difference |
@@ -26,11 +26,10 @@ here, only argument plumbing:
 | sign FILE / verify-file FILE SIG | sign / verify-file | functions/backup.sign_file / verify_file_hmac |
 | dedupe-docs IN | (graft flagship) | plans/pipeline.run_pipeline over (url, text) |
 
-First-wins order for ``dedupe`` uses ``monotonically_increasing_id``
-over the JSONL scan as the ingest ordinal: for a line-based format the
-ids are ordered (partition id, offset-in-partition) and splits follow
-file offset order, so the ordinal reproduces the reference's
-sequential file order deterministically for a fixed input.
+First-wins order for the line-loop commands comes from ``_text_lines``:
+a ``struct(file path, monotonically_increasing_id)`` ordinal over an
+unsplit-per-file text scan — see that helper for why the monotonic id
+alone is NOT file order on multi-file or split inputs.
 
 Parallelism: ``ACX_THREADS`` (reference env, cli.cpp:507-511) or
 ``SPARK_GRAFT_CPUS``; defaults to all cores.
@@ -65,17 +64,49 @@ def _read(spark: SparkSession, path: str, keep_corrupt: bool = True) -> DataFram
     return read_jsonl(spark, path, keep_corrupt=keep_corrupt)
 
 
-def _write(df: DataFrame, path: str, fmt: str | None = None) -> None:
+def _write(df: DataFrame, path: str, fmt: str | None = None) -> int:
+    """Write and return the row count from the SAME pass (Observation
+    metrics ride the write job) — a separate ``df.count()`` would
+    re-execute the whole plan just to print a number."""
+    from pyspark.sql import Observation
+
     from acxspark.io_paths import write_csv_sorted, write_jsonl, write_tsv_sorted
 
     fmt = fmt or ("csv" if path.endswith(".csv")
                   else "tsv" if path.endswith(".tsv") else "jsonl")
+    obs = Observation()
+    df = df.drop("_corrupt_record", "_ord")
     if fmt == "csv":
-        write_csv_sorted(df.drop("_corrupt_record", "_ord"), path)
+        # the sorted writers attach the observation ABOVE their total
+        # sort (below it, the range sampler double-counts)
+        write_csv_sorted(df, path, observation=obs)
     elif fmt == "tsv":
-        write_tsv_sorted(df.drop("_corrupt_record", "_ord"), path)
+        write_tsv_sorted(df, path, observation=obs)
     else:
-        write_jsonl(df.drop("_corrupt_record", "_ord"), path)
+        write_jsonl(df.observe(obs, F.count(F.lit(1)).alias("n")), path)
+    return int(obs.get["n"])
+
+
+def _text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text lines plus a per-file offset ordinal ``_ord``.
+
+    ``monotonically_increasing_id`` alone is NOT file order: Spark
+    plans file splits largest-first, so a multi-file directory (or a
+    single file big enough to split) hands lower ids to later files.
+    Pinning ``maxPartitionBytes`` high keeps every file one unsplit
+    stream (``main`` restores the conf on injected sessions);
+    bin-packed partitions still read their files sequentially, so
+    ``struct(file path, monotonic id)`` is a true (file, offset)
+    order — and a struct sorts lexicographically, so it drops
+    straight into window/orderBy use."""
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
+    return spark.read.text(path).select(
+        "value",
+        F.struct(
+            F.input_file_name().alias("f"),
+            F.monotonically_increasing_id().alias("m"),
+        ).alias("_ord"),
+    )
 
 
 def _emit(obj: dict) -> None:
@@ -98,15 +129,26 @@ def cmd_validate(args, spark) -> int:
 
 
 def cmd_normalize(args, spark) -> int:
-    from acxspark.functions.normalize import (norm_email,
-                                              phone_digits_keep_plus)
+    """Reference normalize loop (cli.cpp:377-396), line-faithful:
+    unparseable / non-object lines pass through VERBATIM (the schema
+    path would re-serialize them as ``{}``), empty lines are
+    preserved, only STRING fields are rewritten, and parsed objects
+    re-dump sorted-compact like ``J::dump`` (functions/lineops.py —
+    field semantics property-tested against the column functions)."""
+    from pyspark.sql import Observation
 
-    df = _read(spark, args.input)
-    out = df.withColumn("name", F.trim(F.col("name"))) \
-            .withColumn("email", norm_email(F.col("email"))) \
-            .withColumn("phone", phone_digits_keep_plus(F.col("phone")))
-    _write(out, args.out)
-    _emit({"normalized": out.count(), "out": args.out})
+    from acxspark.functions.lineops import normalize_lines
+
+    lines = _text_lines(spark, args.input)
+    obs = Observation()
+    out = lines.select(normalize_lines(F.col("value")).alias("value"), "_ord")
+    # observe ABOVE the sort: below it the range sampler scans twice
+    (
+        out.orderBy("_ord").select("value")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite").text(args.out)
+    )
+    _emit({"normalized": int(obs.get["n"]), "out": args.out})
     return 0
 
 
@@ -115,54 +157,82 @@ def cmd_dedupe(args, spark) -> int:
     every surviving line is written VERBATIM (the reference streams
     ``line`` through, never re-serializing), empty lines are skipped,
     unparseable lines always survive (the catch branch never touches
-    the seen set), and the key is the email field when present else
-    the whole line. First-wins order = file order via the monotonic-id
-    ordinal over the text scan."""
+    the seen set), and the key is the email field when present AND a
+    string, else the whole line. First-wins order = (file, offset)
+    via the pinned-split text scan (_text_lines)."""
     from acxspark.operators.dedup_exact import first_wins
 
-    lines = (
-        spark.read.text(args.input)
-        .filter(F.col("value") != "")
-        .withColumn("_ord", F.monotonically_increasing_id())
+    lines = _text_lines(spark, args.input).filter(F.col("value") != "")
+    var = F.try_parse_json(F.col("value"))
+    field = F.try_variant_get(var, f"$.{args.key}", "variant")
+    # reference json_get_string (cli.cpp:299-301): the key is used
+    # only when the field exists AND is a JSON string — a numeric or
+    # boolean email keys by the WHOLE LINE, it does not stringify.
+    # unparseable → NULL key → first_wins keeps it unconditionally.
+    key = (
+        F.when(var.isNull(), F.lit(None).cast("string"))
+        .when(F.schema_of_variant(field) == "STRING",
+              F.try_variant_get(var, f"$.{args.key}", "string"))
+        .otherwise(F.col("value"))
     )
-    parse_ok = F.try_parse_json(F.col("value")).isNotNull()
-    key = F.when(
-        parse_ok,
-        F.coalesce(
-            F.get_json_object(F.col("value"), f"$.{args.key}"),
-            F.col("value"),
-        ),
-    )  # unparseable → NULL key → first_wins keeps it unconditionally
+    from pyspark.sql import Observation
+
+    # the kept-count rides the write pass; the observe node sits ABOVE
+    # the final sort (below a global sort the range sampler scans the
+    # child twice and the metric double-counts — and first_wins forks
+    # `lines`, so it must also be above the union). the in-count is
+    # its own action but only a bare text scan.
     kept = first_wins(lines.withColumn("_key", key), "_key", "_ord")
-    n_in, n_kept = lines.count(), kept.count()
-    kept.orderBy("_ord").select("value").write.mode("overwrite").text(args.out)
+    obs = Observation()
+    (
+        kept.orderBy("_ord").select("value")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite").text(args.out)
+    )
+    n_in, n_kept = lines.count(), int(obs.get["n"])
     _emit({"kept": n_kept, "dropped": n_in - n_kept, "out": args.out})
     return 0
 
 
 def cmd_redact(args, spark) -> int:
-    from acxspark.plans.redact import redact_fields
+    """Reference redact loop (cli.cpp:329-352), line-faithful:
+    unparseable / non-object lines pass through VERBATIM, empty lines
+    are skipped, only STRING email/phone fields are masked
+    (functions/lineops.py twins of functions/mask.py's redact-cmd
+    variants), objects re-dump sorted-compact like ``J::dump``."""
+    from pyspark.sql import Observation
 
-    df = _read(spark, args.input)
-    out = redact_fields(df, {"email": "email", "phone": "phone"},
-                        variant="redact")
-    _write(out, args.out)
-    _emit({"redacted": out.count(), "out": args.out})
+    from acxspark.functions.lineops import redact_lines
+
+    lines = _text_lines(spark, args.input).filter(F.col("value") != "")
+    obs = Observation()
+    out = lines.select(redact_lines(F.col("value")).alias("value"), "_ord")
+    (
+        out.orderBy("_ord").select("value")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite").text(args.out)
+    )
+    _emit({"redacted": int(obs.get["n"]), "out": args.out})
     return 0
 
 
 def cmd_scrub(args, spark) -> int:
+    """Book-level scrub (cli.cpp:747-765): the reference loads the
+    BOOK (Storage skips unparseable lines) and redacts it — so corrupt
+    lines are dropped here, unlike the line-loop redact command."""
     from acxspark.plans.redact import scrub_text
 
-    df = _read(spark, args.input)
+    df = _read(spark, args.input, keep_corrupt=False)
     out = scrub_text(df, text_col=args.field)
-    _write(out, args.out)
-    _emit({"scrubbed": out.count(), "out": args.out})
+    n = _write(out, args.out)
+    _emit({"scrubbed": n, "out": args.out})
     return 0
 
 
 def cmd_report(args, spark) -> int:
-    df = _read(spark, args.input)
+    # book-level (reference report reads parsed contacts): corrupt
+    # lines never reach the book, so they don't count toward total
+    df = _read(spark, args.input, keep_corrupt=False)
     agg = df.groupBy().agg(
         F.count(F.lit(1)).alias("total"),
         F.count_distinct(F.col("email")).alias("distinct_emails"),
@@ -183,17 +253,22 @@ def cmd_diff(args, spark) -> int:
 
 
 def cmd_merge(args, spark) -> int:
+    """Reference merge (src/merge.cpp:45-78): unparseable incoming
+    lines are SKIPPED by parse_contacts (catch → skip), hence
+    keep_corrupt=False on both sides; prefer-existing enriches the
+    ``note`` field of matches (merge.cpp:67-71) — ``--enrich``
+    overrides which column."""
     from acxspark.operators.relational import (merge_prefer_existing,
                                                merge_prefer_newer)
 
-    existing = _read(spark, args.a).drop("_corrupt_record")
-    incoming = _read(spark, args.b).drop("_corrupt_record")
+    existing = _read(spark, args.a, keep_corrupt=False)
+    incoming = _read(spark, args.b, keep_corrupt=False)
     if args.strategy == "prefer-newer":
         out = merge_prefer_newer(existing, incoming, args.key, "created_at")
     else:
-        out = merge_prefer_existing(existing, incoming, args.key)
-    _write(out.drop("src"), args.out)
-    _emit({"merged": out.count(), "out": args.out})
+        out = merge_prefer_existing(existing, incoming, args.key, args.enrich)
+    n = _write(out.drop("src"), args.out)
+    _emit({"merged": n, "out": args.out})
     return 0
 
 
@@ -204,8 +279,8 @@ def cmd_sample(args, spark) -> int:
     ranked = df.withColumn(
         "_r", F.xxhash64(F.to_json(F.struct(*df.columns)), F.lit(args.seed))
     ).orderBy("_r").limit(args.n).drop("_r")
-    _write(ranked, args.out)
-    _emit({"sampled": min(args.n, df.count()), "out": args.out})
+    n = _write(ranked, args.out)  # written rows == min(n, |df|)
+    _emit({"sampled": n, "out": args.out})
     return 0
 
 
@@ -228,15 +303,15 @@ def cmd_grep(args, spark) -> int:
 
 def cmd_export(args, spark) -> int:
     df = _read(spark, args.input, keep_corrupt=False)
-    _write(df, args.out, fmt=args.format)
-    _emit({"exported": df.count(), "out": args.out})
+    n = _write(df, args.out, fmt=args.format)
+    _emit({"exported": n, "out": args.out})
     return 0
 
 
 def cmd_import(args, spark) -> int:
     df = _read(spark, args.input, keep_corrupt=False)
-    _write(df, args.out)
-    _emit({"imported": df.count(), "out": args.out})
+    n = _write(df, args.out)
+    _emit({"imported": n, "out": args.out})
     return 0
 
 
@@ -329,36 +404,45 @@ def cmd_edit(args, spark) -> int:
     from acxspark.operators.relational import append_history
 
     df = _contacts_full(spark, args.input)
-    if df.filter(F.col("id") == args.id).limit(1).count() == 0:
+    # one scalar job for every per-field validation + normalization
+    # (the add command's device), not one spark.range(1) job apiece
+    exprs = [
+        V.is_valid_name(F.lit(args.name)).alias("vn"),
+        V.is_valid_email(F.lit(args.email)).alias("ve"),
+        V.is_valid_phone(F.lit(args.phone)).alias("vp"),
+        norm_email(F.lit(args.email)).alias("ne"),
+        normalize_phone(F.lit(args.phone)).alias("np"),
+    ]
+    chk = spark.range(1).select(*exprs).first()
+    is_target = F.col("id") == args.id
+    ne, np_ = chk["ne"], chk["np"]
+    # one scan answers existence AND both cross-record uniqueness
+    # probes (reference skips the edited id when checking duplicates)
+    probe = df.agg(
+        F.max(is_target.cast("int")).alias("found"),
+        F.max((~is_target & (norm_email(F.col("email")) == F.lit(ne)))
+              .cast("int")).alias("dup_email"),
+        F.max((~is_target & (normalize_phone(F.col("phone")) == F.lit(np_)))
+              .cast("int")).alias("dup_phone"),
+    ).first()
+    if not probe["found"]:  # reference checks existence first
         print("ERROR: Not found", file=sys.stderr)
         return 1
-    lit1 = lambda v: F.lit(v)  # noqa: E731
-    for field, valid, err in (
-        (args.name, V.is_valid_name, "Invalid name"),
-        (args.email, V.is_valid_email, "Invalid email"),
-        (args.phone, V.is_valid_phone, "Invalid phone"),
-    ):
-        if field is not None and not spark.range(1).select(
-            valid(lit1(field)).alias("v")
-        ).first()["v"]:
+    for field, ok, err in ((args.name, chk["vn"], "Invalid name"),
+                           (args.email, chk["ve"], "Invalid email"),
+                           (args.phone, chk["vp"], "Invalid phone")):
+        if field is not None and not ok:
             print(f"ERROR: {err}", file=sys.stderr)
             return 1
-    is_target = F.col("id") == args.id
     out = df
     if args.email is not None:
-        ne = spark.range(1).select(
-            norm_email(lit1(args.email)).alias("v")).first()["v"]
-        if df.filter(~is_target
-                     & (norm_email(F.col("email")) == ne)).limit(1).count():
+        if probe["dup_email"]:
             print("ERROR: Email already exists", file=sys.stderr)
             return 1
         out = out.withColumn("email", F.when(is_target, ne)
                              .otherwise(F.col("email")))
     if args.phone is not None:
-        np_ = spark.range(1).select(
-            normalize_phone(lit1(args.phone)).alias("v")).first()["v"]
-        if df.filter(~is_target & (normalize_phone(F.col("phone")) == np_)
-                     ).limit(1).count():
+        if probe["dup_phone"]:
             print("ERROR: Phone already exists", file=sys.stderr)
             return 1
         out = out.withColumn("phone", F.when(is_target, np_)
@@ -393,7 +477,9 @@ def cmd_delete(args, spark) -> int:
     if df.filter(F.col("id") == args.id).limit(1).count() == 0:
         print("ERROR: Not found", file=sys.stderr)
         return 1
-    write_jsonl(df.filter(F.col("id") != args.id), args.out)
+    # null-safe: plain `id != X` is NULL (→ filtered out) for id-less
+    # records, which would silently delete every such row too
+    write_jsonl(df.filter(~F.col("id").eqNullSafe(F.lit(args.id))), args.out)
     _audit(args, "DELETE", args.id)
     _emit({"deleted": args.id, "out": args.out})
     return 0
@@ -437,12 +523,12 @@ def cmd_prune(args, spark) -> int:
     kept = df.filter(
         F.coalesce(F.col("created_at"), F.lit("")) >= args.before
     )
-    n_removed = df.count() - kept.count()
+    n_total = df.count()
     if args.dry_run:
-        _emit({"would_remove": n_removed})
+        _emit({"would_remove": n_total - kept.count()})
         return 0
-    _write(kept, args.out)
-    _emit({"removed": n_removed, "out": args.out})
+    n_kept = _write(kept, args.out)
+    _emit({"removed": n_total - n_kept, "out": args.out})
     return 0
 
 
@@ -596,8 +682,18 @@ def build_parser() -> argparse.ArgumentParser:
     OUT = lambda d: (["--out"], {"default": d})  # noqa: E731
     add("validate", cmd_validate, IN)
     add("normalize", cmd_normalize, IN, OUT("acx-normalized.jsonl"))
+    def _json_key(s: str) -> str:
+        # the key is spliced into a variant path ($.<key>) — restrict
+        # to identifier chars so dots/quotes can't change the path
+        import re
+
+        if not re.fullmatch(r"\w+", s):
+            raise argparse.ArgumentTypeError(
+                f"--key must be a simple identifier, got {s!r}")
+        return s
+
     add("dedupe", cmd_dedupe, IN, OUT("acx-dedupe.jsonl"),
-        (["--key"], {"default": "email"}))
+        (["--key"], {"default": "email", "type": _json_key}))
     add("redact", cmd_redact, IN, OUT("acx-redacted.jsonl"))
     add("scrub", cmd_scrub, IN, OUT("acx-scrubbed.jsonl"),
         (["--field"], {"default": "note"}))
@@ -606,7 +702,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("merge", cmd_merge, (["a"], {}), (["b"], {}),
         OUT("acx-merged.jsonl"), (["--key"], {"default": "id"}),
         (["--strategy"], {"default": "prefer-newer",
-                          "choices": ["prefer-newer", "prefer-existing"]}))
+                          "choices": ["prefer-newer", "prefer-existing"]}),
+        (["--enrich"], {"default": "note",
+                        "help": "column prefer-existing fills from "
+                                "incoming matches (merge.cpp:67-71)"}))
     add("sample", cmd_sample, IN, (["n"], {"type": int}),
         OUT("acx-sample.jsonl"), (["--seed"], {"type": int, "default": 42}))
     add("grep", cmd_grep, IN, (["pattern"], {}),
@@ -664,9 +763,20 @@ def main(argv: list[str] | None = None,
     own = spark is None
     if own:
         spark = _spark(args.cmd)
+    # _text_lines pins split sizing for the file-order contract; on an
+    # injected (shared) session, put the conf back afterwards
+    saved: dict[str, str | None] = {}
+    if not own:
+        for k in ("spark.sql.files.maxPartitionBytes",):
+            saved[k] = spark.conf.get(k, None)
     try:
         return args.fn(args, spark)
     finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
         if own:
             spark.stop()
 

@@ -169,14 +169,22 @@ def read_csv_naive(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_csv_sorted(df: DataFrame, path: str, sep: str = ",") -> None:
+def write_csv_sorted(df: DataFrame, path: str, sep: str = ",",
+                     observation=None) -> None:
     """Header + rows TOTALLY sorted by id, RFC-escaped — the
     reference's deterministic export contract (src/storage.cpp:252-281,
     SUMMIT_SORT). orderBy = range-partitioned total sort; files are
-    globally ordered by part index."""
+    globally ordered by part index.
+
+    ``observation``: optional ``pyspark.sql.Observation`` that counts
+    the written rows (metric ``n``). It must attach ABOVE the sort —
+    below it, the range partitioner's sampling pass scans the child
+    twice and the metric double-counts."""
+    out = df.select(*[F.col(c) for c in df.columns]).orderBy("id")
+    if observation is not None:
+        out = out.observe(observation, F.count(F.lit(1)).alias("n"))
     (
-        df.select(*[F.col(c) for c in df.columns])
-        .orderBy("id")
+        out
         .write.mode("overwrite")
         .option("header", True)
         .option("sep", sep)
@@ -192,8 +200,8 @@ def write_csv_sorted(df: DataFrame, path: str, sep: str = ",") -> None:
     )
 
 
-def write_tsv_sorted(df: DataFrame, path: str) -> None:
-    write_csv_sorted(df, path, sep="\t")
+def write_tsv_sorted(df: DataFrame, path: str, observation=None) -> None:
+    write_csv_sorted(df, path, sep="\t", observation=observation)
 
 
 def export_roundtrip_ok(spark: SparkSession, df: DataFrame, tmp: str) -> bool:

@@ -37,11 +37,19 @@ def merge_prefer_newer(
     the incoming delta is usually small ⇒ broadcast it.
     """
     cols = existing.columns
-    e = existing.select(*[F.col(c).alias(f"e_{c}") for c in cols])
-    i = incoming.select(*[F.col(c).alias(f"i_{c}") for c in cols])
+    # presence markers, not key-null checks: "the existing side is
+    # absent" must be detected by a non-null literal that only a
+    # failed outer-join match can null out — testing e_key.isNull()
+    # would also fire for a PRESENT existing row whose key field is
+    # null (it matches nothing in an equi-join), wiping its data with
+    # the absent incoming side's all-NULL columns
+    e = existing.select(F.lit(True).alias("_e_present"),
+                        *[F.col(c).alias(f"e_{c}") for c in cols])
+    i = incoming.select(F.lit(True).alias("_i_present"),
+                        *[F.col(c).alias(f"i_{c}") for c in cols])
     j = e.join(i, e[f"e_{key}"] == i[f"i_{key}"], "full_outer")
-    take_incoming = F.col(f"e_{key}").isNull() | (
-        F.col(f"i_{key}").isNotNull()
+    take_incoming = F.col("_e_present").isNull() | (
+        F.col("_i_present").isNotNull()
         & (F.col(f"i_{ts_col}") > F.col(f"e_{ts_col}"))
     )
     out = j.select(

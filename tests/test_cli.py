@@ -88,6 +88,59 @@ def test_dedupe_matches_reference_loop(spark, capsys, contacts_jsonl, tmp_path):
     assert msgs[-1]["dropped"] == 2  # email dup of Ada + exact dup line
 
 
+def test_dedupe_non_string_key_falls_back_to_line(spark, capsys, tmp_path):
+    """json_get_string (cli.cpp:299-301) only keys on STRING fields: a
+    numeric/bool/null email must key by the whole line, never its
+    stringification — {"email":1,"a":1} and {"email":1,"a":2} both
+    survive, and {"email":"1"} does NOT collide with {"email":1}."""
+    lines = [
+        '{"email":1,"a":1}',
+        '{"email":1,"a":2}',       # same numeric email, different line → kept
+        '{"email":1,"a":1}',       # identical line → dropped
+        '{"email":"1","b":1}',     # STRING "1" keys by value
+        '{"email":"1","b":2}',     # same string key → dropped
+        '{"email":true}',
+        '{"email":null}',
+        '[1,2]',                   # parses, not an object → whole line
+        '[1,2]',                   # identical line → dropped
+    ]
+    p = tmp_path / "mixed.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "deduped")
+    rc, msgs = run_cli(spark, capsys, "dedupe", str(p), "--out", out)
+    assert rc == 0
+    want = reference_dedupe(lines)
+    assert _read_text_dir(out) == want
+    assert msgs[-1]["dropped"] == 3
+
+
+def test_dedupe_multi_file_order(spark, capsys, tmp_path):
+    """First-wins across a DIRECTORY input follows (file path, offset)
+    order — Spark's size-descending split planning must not let a
+    bigger later file win (the _text_lines contract)."""
+    d = tmp_path / "in"
+    d.mkdir()
+    # file 0 is tiny; file 1 is much larger so Spark would plan it
+    # FIRST by size — its copy of the dup key must still lose
+    dup = json.dumps({"email": "dup@example.com", "src": "file0"})
+    (d / "part-00000.jsonl").write_text(dup + "\n")
+    filler = [json.dumps({"email": f"u{i}@example.com", "pad": "x" * 200})
+              for i in range(200)]
+    loser = json.dumps({"email": "dup@example.com", "src": "file1"})
+    (d / "part-00001.jsonl").write_text("\n".join([loser] + filler) + "\n")
+    out = str(tmp_path / "deduped")
+    rc, msgs = run_cli(spark, capsys, "dedupe", str(d), "--out", out)
+    assert rc == 0
+    got = _read_text_dir(out)
+    want = reference_dedupe(
+        (d / "part-00000.jsonl").read_text().splitlines()
+        + (d / "part-00001.jsonl").read_text().splitlines()
+    )
+    assert got == want
+    assert msgs[-1]["dropped"] == 1
+    assert '"src": "file0"' in "\n".join(got)
+
+
 def test_validate_counts(spark, capsys, contacts_jsonl):
     rc, msgs = run_cli(spark, capsys, "validate", str(contacts_jsonl))
     assert rc == 0
@@ -102,11 +155,161 @@ def test_normalize(spark, capsys, contacts_jsonl, tmp_path):
     rc, msgs = run_cli(spark, capsys, "normalize", str(contacts_jsonl),
                        "--out", out)
     assert rc == 0
-    rows = [json.loads(l) for l in _read_text_dir(out) if l]
-    by_id = {r["id"]: r for r in rows if "id" in r}
+    lines = _read_text_dir(out)
+    # corrupt fixture lines pass through VERBATIM now (reference loop)
+    assert lines.count("{this is not json") == 2
+    rows = []
+    for l in lines:
+        try:
+            rows.append(json.loads(l))
+        except ValueError:
+            pass
+    by_id = {r["id"]: r for r in rows if isinstance(r, dict) and "id" in r}
     assert by_id["3"]["name"] == "Ada"
     assert by_id["3"]["email"] == "ada@example.com"
     assert by_id["3"]["phone"] == "+15550100001"
+
+
+def reference_normalize(lines: list[str]) -> list[str]:
+    """Pure-python twin of src/cli.cpp:377-396 (J::dump = sorted
+    compact; string fields only; non-object / unparseable / empty
+    lines verbatim)."""
+    def trim(s):
+        return s.strip(" \t\n\r\v\f")
+
+    def lower(s):
+        return "".join(chr(ord(c) + 32) if "A" <= c <= "Z" else c for c in s)
+
+    def phone_digits(s):
+        o = ""
+        for c in s:
+            if c.isdigit() and c.isascii():
+                o += c
+            elif c == "+" and not o:
+                o += c
+        return o
+
+    out = []
+    for line in lines:
+        if line == "":
+            out.append(line)
+            continue
+        try:
+            j = json.loads(line)
+        except ValueError:
+            out.append(line)
+            continue
+        if not isinstance(j, dict):
+            out.append(line)
+            continue
+        for k, f in (("name", trim), ("email", lambda s: lower(trim(s))),
+                     ("phone", phone_digits)):
+            if isinstance(j.get(k), str):
+                j[k] = f(j[k])
+        out.append(json.dumps(j, sort_keys=True, separators=(",", ":"),
+                              ensure_ascii=False))
+    return out
+
+
+def reference_redact(lines: list[str]) -> list[str]:
+    """Pure-python twin of src/cli.cpp:329-352 (empty lines SKIPPED,
+    redact-cmd mask formulas from cli.cpp:236-252)."""
+    def mask_email(s):
+        at = s.find("@")
+        if at < 0:
+            return "*" * len(s)
+        local, dom = s[:at], s[at + 1:]
+        n = len(local)
+        m = local[0] + "*" * (n - 2) + local[-1] if n > 2 else "*" * n
+        return m + "@" + dom
+
+    def mask_phone(s):
+        return "".join("*" if c.isdigit() and c.isascii() else c for c in s)
+
+    out = []
+    for line in lines:
+        if line == "":
+            continue
+        try:
+            j = json.loads(line)
+        except ValueError:
+            out.append(line)
+            continue
+        if not isinstance(j, dict):
+            out.append(line)
+            continue
+        for k, f in (("email", mask_email), ("phone", mask_phone)):
+            if isinstance(j.get(k), str):
+                j[k] = f(j[k])
+        out.append(json.dumps(j, sort_keys=True, separators=(",", ":"),
+                              ensure_ascii=False))
+    return out
+
+
+NORM_EDGE_LINES = [
+    json.dumps({"id": "3", "name": "  Ada  ", "email": " Ada@Example.COM ",
+                "phone": "+1 (555) 010-0001", "note": "keep me",
+                "extra_unknown_field": [1, {"nested": True}]}),
+    '{"email":42,"name":null,"phone":["555"]}',  # non-string fields untouched
+    "{not json",                                  # verbatim
+    "",                                           # normalize keeps, redact skips
+    '[1,2,3]',                                    # non-object → verbatim
+    '"bare string"',
+    json.dumps({"email": "x@y.z", "phone": "1+2+3 ext 9"}),
+    json.dumps({"email": "ab@d.com", "phone": "+  42"}),
+    json.dumps({"email": "a@b", "name": "Zoë  "}),
+]
+
+
+def test_normalize_matches_reference_loop(spark, capsys, tmp_path):
+    """Line-faithful twin: unknown fields survive, corrupt lines pass
+    VERBATIM (never re-serialized as {}), empty lines preserved."""
+    p = tmp_path / "edge.jsonl"
+    p.write_text("\n".join(NORM_EDGE_LINES) + "\n")
+    out = str(tmp_path / "norm")
+    rc, msgs = run_cli(spark, capsys, "normalize", str(p), "--out", out)
+    assert rc == 0
+    assert _read_text_dir(out) == reference_normalize(NORM_EDGE_LINES)
+    assert msgs[-1]["normalized"] == len(NORM_EDGE_LINES)
+
+
+def test_redact_matches_reference_loop(spark, capsys, tmp_path):
+    p = tmp_path / "edge.jsonl"
+    p.write_text("\n".join(NORM_EDGE_LINES) + "\n")
+    out = str(tmp_path / "red")
+    rc, msgs = run_cli(spark, capsys, "redact", str(p), "--out", out)
+    assert rc == 0
+    assert _read_text_dir(out) == reference_redact(NORM_EDGE_LINES)
+
+
+def test_lineops_field_twins_match_column_functions(spark):
+    """The python field helpers inside lineops must agree with the
+    column-expression implementations (functions/normalize.py,
+    functions/mask.py) on a shared vector set — the two surfaces may
+    never drift."""
+    from pyspark.sql import functions as F
+
+    from acxspark.functions import lineops as L
+    from acxspark.functions.mask import mask_email_redact, mask_phone_redact
+    from acxspark.functions.normalize import phone_digits_keep_plus
+
+    phones = ["+1 (555) 010-0001", "555-0002", " +44 20 7946 0958", "++1",
+              "1+2", "+", "", "ext. 42", "+-+7(8)9"]
+    emails = ["bob@example.com", "ab@d.com", "a@b", "@d.com", "no-at-sign",
+              "x@", "ab@", "abc@x"]
+    df = spark.createDataFrame(
+        [(p, e) for p, e in zip(phones, emails + [""])], ["p", "e"]
+    )
+    rows = df.select(
+        phone_digits_keep_plus(F.col("p")).alias("pd"),
+        mask_phone_redact(F.col("p")).alias("mp"),
+        mask_email_redact(F.col("e")).alias("me"),
+        "p", "e",
+    ).collect()
+    for r in rows:
+        assert r["pd"] == L.phone_digits_keep_plus_py(r["p"])
+        assert r["mp"] == L.mask_phone_redact_py(r["p"])
+        assert r["me"] == L.mask_email_redact_py(r["e"])
 
 
 def test_phone_digits_keep_plus_reference_twin(spark):
@@ -191,6 +394,68 @@ def test_merge_prefer_newer(spark, capsys, contacts_jsonl, tmp_path):
     rows = [json.loads(l) for l in _read_text_dir(out) if l]
     names = {r.get("id"): r.get("name") for r in rows}
     assert names["1"] == "Bob II"
+
+
+def test_merge_prefer_existing_enriches_note(spark, capsys, tmp_path):
+    """merge.cpp:67-71: existing wins, but an empty note fills from
+    the incoming match; unmatched incoming rows append."""
+    a = tmp_path / "a.jsonl"
+    a.write_text(json.dumps(CONTACTS[1]) + "\n")          # bob, note ""
+    b = tmp_path / "b.jsonl"
+    b.write_text(json.dumps(dict(CONTACTS[1], name="Bob Prime",
+                                 note="from incoming")) + "\n"
+                 + json.dumps({"id": "7", "name": "New", "email": "n@x.com",
+                               "phone": "555-0007", "note": "",
+                               "created_at": "2026-02-01T00:00:00Z"}) + "\n")
+    out = str(tmp_path / "merged")
+    rc, msgs = run_cli(spark, capsys, "merge", str(a), str(b),
+                       "--strategy", "prefer-existing", "--out", out)
+    assert rc == 0
+    rows = {r["id"]: r for r in
+            (json.loads(l) for l in _read_text_dir(out) if l)}
+    assert rows["1"]["name"] == "Bob"                # existing wins
+    assert rows["1"]["note"] == "from incoming"      # empty note enriched
+    assert "7" in rows                               # unmatched appended
+    assert msgs[-1]["merged"] == 2
+
+
+def test_merge_preserves_keyless_existing_rows(spark, capsys, tmp_path):
+    """A present existing row whose merge key is null must pass
+    through unchanged — the full-outer join's 'incoming side absent'
+    test is a presence marker, not key-null (which would wipe the row
+    to all-NULL columns)."""
+    a = tmp_path / "a.jsonl"
+    keyless = {"name": "NoId", "email": "noid@x.com", "phone": "555-0009",
+               "note": "imported flat", "created_at": "2026-01-05T00:00:00Z"}
+    a.write_text(json.dumps(CONTACTS[1]) + "\n" + json.dumps(keyless) + "\n")
+    b = tmp_path / "b.jsonl"
+    b.write_text(json.dumps(dict(CONTACTS[1], name="Bob II",
+                                 created_at="2027-01-01T00:00:00Z")) + "\n")
+    out = str(tmp_path / "merged")
+    rc, msgs = run_cli(spark, capsys, "merge", str(a), str(b), "--out", out)
+    assert rc == 0
+    rows = [json.loads(l) for l in _read_text_dir(out) if l]
+    names = sorted(r.get("name") for r in rows)
+    assert names == ["Bob II", "NoId"]
+    noid = next(r for r in rows if r.get("name") == "NoId")
+    assert noid["email"] == "noid@x.com"             # data intact
+
+
+def test_delete_keeps_idless_rows(spark, capsys, tmp_path):
+    """delete --id X must not also drop records without an id (plain
+    `id != X` is NULL for them and filter would discard)."""
+    base = tmp_path / "book.jsonl"
+    keyless = {"name": "NoId", "email": "noid@x.com", "phone": "555-0009",
+               "note": "", "created_at": "2026-01-05T00:00:00Z"}
+    base.write_text(json.dumps(CONTACTS[1]) + "\n"
+                    + json.dumps(keyless) + "\n")
+    out = str(tmp_path / "after")
+    rc, _ = run_cli(spark, capsys, "delete", str(base), "--out", out,
+                    "--id", "1", "--yes",
+                    "--audit", str(tmp_path / "a.log"))
+    assert rc == 0
+    rows = [json.loads(l) for l in _read_text_dir(out) if l]
+    assert [r.get("name") for r in rows] == ["NoId"]
 
 
 def test_export_csv_sorted(spark, capsys, contacts_jsonl, tmp_path):
