@@ -143,8 +143,16 @@ def or_key_components(df: DataFrame, id_col: str, key_cols: list[str],
         del probe
 
     if hash_nodes:
+        # screen EVERY hash that will meet the join below: edge nodes
+        # AND all record ids — a keyless record never enters the edge
+        # set, but its hashed id still probes comp, so a collision
+        # with any graph node would spuriously attach (or even
+        # relabel) a component; include those ids so that class of
+        # collision also triggers the string-path fallback
         nodes = edges.select(F.col("u").alias("n")).union(
             edges.select(F.col("v").alias("n"))
+        ).union(
+            df.select(F.col(id_col).cast("string").alias("n"))
         ).select(
             F.xxhash64("n").alias("h1"),
             F.xxhash64("n", F.lit(7)).alias("h2"),

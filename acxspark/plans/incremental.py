@@ -330,7 +330,24 @@ def run_incremental(new_web: DataFrame, catalog,
     old_label_set = old_clusters.select(
         F.col("cluster_id").alias("u")
     ).distinct()
-    comp_build = F.broadcast(comp) if n_edges <= 1_000_000 else comp
+    # the forced hint must be sized in BYTES, not rows: 1M edges of
+    # 150-200 B crawl urls put comp at several hundred MB, and
+    # F.broadcast bypasses AQE's size check entirely — the driver
+    # would have to build it regardless. comp carries ≲2 url-sized
+    # strings per distinct node, so twice the edge byte volume (one
+    # cheap agg over the checkpointed slim edges, only on the
+    # row-bounded branch) upper-bounds the build; past the cap the
+    # join stays unhinted and AQE converts iff runtime bytes allow.
+    comp_build = comp
+    if n_edges <= 1_000_000:
+        ebytes = int(
+            all_edges.agg(
+                F.sum(F.length("id_a") + F.length("id_b")).alias("b")
+            ).collect()[0]["b"]
+            or 0
+        )
+        if 2 * ebytes <= (64 << 20):
+            comp_build = F.broadcast(comp)
     comp_labels = (
         comp_build.join(old_label_set, "u")
         .groupBy("component")

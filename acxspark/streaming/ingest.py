@@ -107,10 +107,14 @@ def fold_batch(batch_df: DataFrame, batch_id: int, catalog,
     # repartition would have been waste).
     target = batch_df.sparkSession.sparkContext.defaultParallelism
     floor = 4 * target
-    if (
-        batch_df.rdd.getNumPartitions() < target
-        and batch_df.limit(floor + 1).count() > floor
-    ):
+    budget = int(getattr(cfg, "incr_max_batch_rows", 0) or 0)
+    # ONE bounded probe answers both width gates (repartition floor
+    # and the oversized-split budget below) — budget ≥ floor in any
+    # realistic config, so probing to max(floor, budget)+1 costs the
+    # same scan the budget probe alone did
+    probe_cap = max(floor, budget)
+    n_probe = batch_df.limit(probe_cap + 1).count()
+    if batch_df.rdd.getNumPartitions() < target and n_probe > floor:
         batch_df = batch_df.repartition(target)
     if not catalog.has("signatures"):
         # cold start: the first batch IS the corpus; run the full
@@ -139,10 +143,7 @@ def fold_batch(batch_df: DataFrame, batch_id: int, catalog,
         # re-folding the already-committed sub-batches is the layer-2
         # idempotent path (committed docs exact-match their own copy
         # and keep their frozen labels — row-identical re-commit).
-        budget = int(getattr(cfg, "incr_max_batch_rows", 0) or 0)
-        oversized = (
-            budget > 0 and batch_df.limit(budget + 1).count() > budget
-        )
+        oversized = budget > 0 and n_probe > budget
         if not oversized:
             res = run_incremental(batch_df, catalog, cfg=cfg,
                                   text_col=text_col,
@@ -166,9 +167,18 @@ def fold_batch(batch_df: DataFrame, batch_id: int, catalog,
             total = 0
             for j in groups:
                 sub = batch_df.filter(grp == j)
-                sub_meta = dict(meta) if j == groups[-1] else {
-                    "ingest_batch_part": f"{batch_id}/{j}"
-                }
+                if j == groups[-1]:
+                    sub_meta = dict(meta)
+                else:
+                    # intermediate commits must NOT erase the replay
+                    # ledger: keep the last COMPLETE batch id in the
+                    # manifest so a crash mid-split still lets
+                    # last_committed_batch() see it (the stale-id
+                    # guard above stays armed); only the final
+                    # sub-fold advances the id to this batch
+                    sub_meta = {"ingest_batch_part": f"{batch_id}/{j}"}
+                    if last is not None:
+                        sub_meta["ingest_batch_id"] = int(last)
                 sub_lineage = (
                     str(Path(lineage_dir) / f"batch-{batch_id}-sub{j}.jsonl")
                     if lineage_dir else None
@@ -179,8 +189,13 @@ def fold_batch(batch_df: DataFrame, batch_id: int, catalog,
                                       snapshot_meta=sub_meta)
                 total += res.assignments.count()
                 if out_dir:
-                    res.assignments.write.mode("append").parquet(
-                        str(Path(out_dir) / f"batch-{batch_id}")
+                    # one OVERWRITTEN directory per sub-fold (standard
+                    # partition layout, so reading batch-<id> discovers
+                    # every sub): an appended shared dir would
+                    # duplicate sub-fold rows when a mid-split crash
+                    # replays the whole batch
+                    res.assignments.write.mode("overwrite").parquet(
+                        str(Path(out_dir) / f"batch-{batch_id}" / f"sub={j}")
                     )
                 res.lineage.flush()
                 for df in res.caches or []:

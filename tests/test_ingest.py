@@ -15,7 +15,8 @@ from acxspark.catalog import ParquetSnapshotCatalog
 from acxspark.config import DedupConfig
 from acxspark.plans.incremental import run_incremental
 from acxspark.plans.pipeline import run_pipeline
-from acxspark.streaming.ingest import fold_batch, ingest_crawl_stream
+from acxspark.streaming.ingest import (fold_batch, ingest_crawl_stream,
+                                       last_committed_batch)
 
 BASE = ("the quick brown fox jumps over the lazy dog while seventeen "
         "ships sail quietly past the harbor wall under a pale winter "
@@ -210,3 +211,59 @@ def test_oversized_batch_splits_into_equivalent_subfolds(spark, tmp_path):
     s2 = fold_batch(delta, 1, cat_c, cfg=cfg)
     assert s2["action"] == "increment_split"
     assert _clusters(spark, cat_c) == _clusters(spark, cat_a)
+
+
+def test_midsplit_crash_keeps_ledger_and_outdir_exactly_once(
+        spark, tmp_path, monkeypatch):
+    """A crash BETWEEN sub-folds of a split batch must leave the
+    replay ledger intact (intermediate manifests carry the last
+    COMPLETE batch id — erasing it would disarm the catalog/checkpoint
+    mismatch guard), and the per-batch out_dir must hold each
+    assignment exactly once after the replay (per-sub-fold overwritten
+    partition dirs, not a shared append)."""
+    import acxspark.plans.incremental as inc
+
+    cfg = DedupConfig(incr_max_batch_rows=4)
+    cat = ParquetSnapshotCatalog(tmp_path / "m")
+    out_dir = str(tmp_path / "out")
+    base = spark.createDataFrame(INC0, SCHEMA)
+    delta_rows = INC1 + INC2
+    delta = spark.createDataFrame(delta_rows, SCHEMA)
+    fold_batch(base, 0, cat, cfg=cfg, out_dir=out_dir)
+    assert last_committed_batch(cat) == 0
+
+    real = inc.run_incremental
+    calls = {"n": 0}
+
+    def crash_before_second(*a, **kw):
+        # crash at the START of sub-fold 1: sub-fold 0 has fully
+        # committed AND written its out_dir partition by then, so the
+        # replay must overwrite (not duplicate) that partition
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash after sub-fold 0")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(inc, "run_incremental", crash_before_second)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        fold_batch(delta, 1, cat, cfg=cfg, out_dir=out_dir)
+    # sub-fold 0 committed, but the ledger still points at batch 0 —
+    # the stale-id guard stays armed and the replay is NOT skipped
+    assert last_committed_batch(cat) == 0
+
+    monkeypatch.setattr(inc, "run_incremental", real)
+    s = fold_batch(delta, 1, cat, cfg=cfg, out_dir=out_dir)
+    assert s["action"] == "increment_split"
+    assert last_committed_batch(cat) == 1
+
+    # out_dir: every delta url exactly once, despite sub-fold 0
+    # having written once before the crash and once in the replay
+    got = spark.read.parquet(str(tmp_path / "out" / "batch-1"))
+    urls = [r["url"] for r in got.select("url").collect()]
+    assert sorted(urls) == sorted(u for u, _ in delta_rows)
+
+    # end state equals the no-crash path
+    cat_ref = ParquetSnapshotCatalog(tmp_path / "ref")
+    fold_batch(base, 0, cat_ref, cfg=cfg)
+    fold_batch(delta, 1, cat_ref, cfg=cfg)
+    assert _clusters(spark, cat) == _clusters(spark, cat_ref)

@@ -47,13 +47,25 @@ def _stream(q) -> None:
 
 
 def run_level(k: int) -> int:
+    import queue as _queue
+
     q: mp.Queue = mp.Queue()
     procs = [mp.Process(target=_stream, args=(q,)) for _ in range(k)]
     for p in procs:
         p.start()
-    total = sum(q.get() for _ in procs)
+    # bounded get: a worker OOM-killed under the very memory pressure
+    # this witness measures would otherwise hang the whole bracket
+    total = 0
+    dead = 0
+    for _ in procs:
+        try:
+            total += q.get(timeout=WINDOW_S * 10)
+        except _queue.Empty:
+            dead += 1
     for p in procs:
-        p.join()
+        p.join(timeout=10)
+    if dead:
+        raise RuntimeError(f"{dead}/{k} witness workers died before reporting")
     return total
 
 

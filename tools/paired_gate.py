@@ -53,13 +53,20 @@ def run_level(data: str, cpus: int, retries: int = 1) -> dict:
         )
         lines = proc.stdout.strip().splitlines()
         if lines:
-            rec = json.loads(lines[-1])
+            try:
+                # parse INSIDE the retry loop: a JVM killed mid-print
+                # leaves partial/non-JSON stdout — the same
+                # dying-under-steal mode the empty-stdout retry covers
+                rec = json.loads(lines[-1])
+            except json.JSONDecodeError:
+                lines = []
+        if lines:
             if attempt:
                 rec["retried"] = attempt
             rec["t_end"] = round(time.time(), 1)
             return rec
         print(
-            f"level {cpus}c attempt {attempt}: no stdout "
+            f"level {cpus}c attempt {attempt}: no/garbled stdout "
             f"(rc={proc.returncode}); stderr tail: "
             + " | ".join(proc.stderr.strip().splitlines()[-3:]),
             file=sys.stderr,
