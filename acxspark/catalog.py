@@ -6,14 +6,27 @@ jar exists in this sandbox (offline), so the catalog is an abstraction
 (SURVEY §7.3.6):
 
 - ``ParquetSnapshotCatalog`` (default): each write lands in
-  ``root/<table>/snap-<n>/`` and is committed by atomically renaming a
-  manifest json into place — the same tmp+rename crash-safety the
-  reference uses for its data file (reference src/utils.cpp:21-38,
-  src/cli.cpp:357-368), promoted from file to table granularity.
-  Readers resolve the manifest first, so a killed writer is invisible.
+  ``root/<table>/snap-<n>-<token>/`` and is committed by atomically
+  renaming a fsync'd manifest json into place — the same tmp+rename
+  crash-safety the reference uses for its data file (reference
+  src/utils.cpp:21-38, src/cli.cpp:357-368), promoted from file to
+  table granularity. Readers resolve the manifest first, so a killed
+  writer is invisible; a TORN manifest (crash before the rename's
+  data hit disk) reads as "nothing committed", never as an error —
+  the manifest IS the commit point, so a torn one means the commit
+  didn't land.
+- Writers: one writer per TABLE at a time is the intended contract
+  (the pipeline/streaming drivers serialize naturally). Overlapping
+  writers are still SAFE — snapshot dirs are token-unique so data
+  never interleaves, and the loser of the manifest race aborts with
+  ``RuntimeError`` at its commit point instead of silently clobbering
+  (Iceberg's optimistic-concurrency behavior, minus retries).
 - On a real cluster, swap in Iceberg via session conf
-  (``spark.sql.catalog.*``) and ``df.writeTo(tbl)``; the call sites
-  only use write/read/has/latest_meta, which map 1:1.
+  (``spark.sql.catalog.*``) and ``df.writeTo(tbl)``; the
+  pipeline/incremental/CC call sites only use
+  write/read/has/latest_meta, which map 1:1. (The backup verb
+  — functions/backup.py — additionally walks the parquet catalog's
+  filesystem layout and so requires this class, not the Iceberg one.)
 """
 
 from __future__ import annotations
@@ -21,10 +34,15 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 import tempfile
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: manifest keys owned by the catalog — caller meta may not shadow them
+_RESERVED_META = {"version", "path", "prior"}
 
 
 class ParquetSnapshotCatalog:
@@ -38,38 +56,100 @@ class ParquetSnapshotCatalog:
     def _manifest_path(self, table: str) -> Path:
         return self._tdir(table) / "MANIFEST.json"
 
+    def _load_manifest(self, table: str) -> dict | None:
+        """The committed manifest, or None when absent OR unreadable.
+        Unreadable = torn by a crash mid-commit ⇒ by the commit-point
+        rule nothing was committed; warn (data dirs may linger) and
+        let the table start over rather than brick every consumer."""
+        try:
+            with open(self._manifest_path(table)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+        except (json.JSONDecodeError, OSError) as e:
+            print(
+                f"acxspark.catalog: ignoring unreadable manifest for "
+                f"table {table!r} ({e}) — treating as uncommitted",
+                file=sys.stderr,
+            )
+            return None
+
     def has(self, table: str) -> bool:
-        return self._manifest_path(table).exists()
+        return self._load_manifest(table) is not None
 
     def latest_meta(self, table: str) -> dict:
-        with open(self._manifest_path(table)) as f:
-            return json.load(f)
+        m = self._load_manifest(table)
+        if m is None:
+            raise FileNotFoundError(
+                f"no committed manifest for table {table!r}"
+            )
+        return m
 
     def write(self, table: str, df: DataFrame, meta: dict | None = None) -> int:
         """Write a new snapshot and atomically commit the manifest."""
+        bad = _RESERVED_META & set(meta or ())
+        if bad:
+            raise ValueError(
+                f"meta keys {sorted(bad)} are reserved catalog fields"
+            )
         tdir = self._tdir(table)
         tdir.mkdir(parents=True, exist_ok=True)
-        version = (self.latest_meta(table)["version"] + 1) if self.has(table) else 0
-        snap = tdir / f"snap-{version:06d}"
+        base = self._load_manifest(table)
+        version = (base["version"] + 1) if base else 0
+        # token-unique dir: two racing writers can never interleave
+        # part-files inside one snapshot directory
+        snap = tdir / f"snap-{version:06d}-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(str(snap))
-        manifest = {"version": version, "path": snap.name, **(meta or {})}
+        # retention bookkeeping rides the manifest (commit ORDER, not
+        # directory names — a recreated manifest or stray dir must
+        # never push a live snapshot out of the retention window)
+        prior = (list(base.get("prior", [])) + [base["path"]]) if base else []
+        keep_n = 1  # current + 1 prior ⇒ 2 retained snapshots
+        evict, prior = prior[:-keep_n] or [], prior[-keep_n:]
+        manifest = {"version": version, "path": snap.name, "prior": prior,
+                    **(meta or {})}
         fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())  # manifest BYTES durable pre-rename
+        except BaseException:
+            os.unlink(tmp)
+            raise
+        # optimistic commit check: abort (and clean up) if another
+        # writer committed since we read `base` — last narrow race
+        # aside, the loser raises instead of silently winning
+        now = self._load_manifest(table)
+        if (now["version"] if now else -1) != (base["version"] if base else -1):
+            os.unlink(tmp)
+            shutil.rmtree(snap, ignore_errors=True)
+            raise RuntimeError(
+                f"concurrent write detected on table {table!r}: "
+                f"manifest advanced during this write"
+            )
         os.replace(tmp, self._manifest_path(table))  # atomic commit point
-        self._gc(tdir, keep=snap.name)
+        self._fsync_dir(tdir)  # rename durable
+        for name in evict:  # post-commit: no reader can resolve these
+            shutil.rmtree(tdir / name, ignore_errors=True)
         return version
+
+    @staticmethod
+    def _fsync_dir(d: Path) -> None:
+        try:
+            fd = os.open(d, os.O_RDONLY)
+        except OSError:
+            return
+        try:
+            os.fsync(fd)
+        except OSError:
+            pass
+        finally:
+            os.close(fd)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         m = self.latest_meta(table)
         return spark.read.parquet(str(self._tdir(table) / m["path"]))
-
-    def _gc(self, tdir: Path, keep: str, retain: int = 2) -> None:
-        """Drop all but the newest `retain` snapshots (never `keep`)."""
-        snaps = sorted(p for p in tdir.iterdir() if p.name.startswith("snap-"))
-        for p in snaps[:-retain]:
-            if p.name != keep:
-                shutil.rmtree(p, ignore_errors=True)
 
 
 # ---- Iceberg path (cluster deployments; jar-gated in this sandbox) ----
@@ -129,10 +209,14 @@ class IcebergSnapshotCatalog:
         return self.spark.catalog.tableExists(self._fq(table))
 
     def latest_meta(self, table: str) -> dict:
+        # snapshot_id as tiebreaker: committed_at has millisecond
+        # resolution and fast sequential commits (CC's per-round
+        # snapshots) can tie — without a deterministic second key the
+        # "latest" row could flap between the two
         row = (
             self.spark.sql(
                 f"SELECT snapshot_id, summary FROM {self._fq(table)}.snapshots "
-                f"ORDER BY committed_at DESC LIMIT 1"
+                f"ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
             ).collect()[0]
         )
         meta = {"version": int(row["snapshot_id"]), "path": self._fq(table)}
@@ -145,6 +229,11 @@ class IcebergSnapshotCatalog:
         return meta
 
     def write(self, table: str, df: DataFrame, meta: dict | None = None) -> int:
+        bad = _RESERVED_META & set(meta or ())
+        if bad:
+            raise ValueError(
+                f"meta keys {sorted(bad)} are reserved catalog fields"
+            )
         w = df.writeTo(self._fq(table)).using("iceberg")
         for k, v in (meta or {}).items():
             # snapshot summary properties — committed atomically WITH

@@ -28,7 +28,7 @@ def test_manifest_is_the_commit_point(spark, tmp_path):
     # fake a partially-written newer snapshot (no manifest flip)
     stale = tmp_path / "cat" / "t" / "snap-000099"
     spark.range(100).write.parquet(str(stale))
-    assert cat.latest_meta("t")["path"] == "snap-000000"
+    assert cat.latest_meta("t")["path"].startswith("snap-000000")
     assert cat.read(spark, "t").count() == 3
 
 
@@ -317,8 +317,12 @@ def test_iceberg_catalog_logic_with_double():
             if q.startswith("CREATE NAMESPACE"):
                 return FakeResult([])
             assert ".snapshots" in q and "committed_at DESC" in q
+            # mirror the class's ORDER BY incl. the snapshot_id
+            # tiebreaker for same-millisecond commits
+            assert "snapshot_id DESC" in q
             fq = q.split("FROM ")[1].split(".snapshots")[0]
-            newest = max(committed[fq], key=lambda s: s["committed_at"])
+            newest = max(committed[fq],
+                         key=lambda s: (s["committed_at"], s["snapshot_id"]))
             return FakeResult(
                 [{"snapshot_id": newest["snapshot_id"],
                   "summary": newest["summary"]}]
@@ -342,6 +346,17 @@ def test_iceberg_catalog_logic_with_double():
     v2 = cat.write("cc_edges-ab12-cd34", FakeDF(), meta={"n_docs": 11})
     m2 = cat.latest_meta("cc_edges-ab12-cd34")
     assert m2["version"] == v2 == 1002 and m2["n_docs"] == 11
+    # same-millisecond tie (fast sequential CC-round commits):
+    # snapshot_id breaks it deterministically toward the newer commit
+    committed["acx.t.cc_edges_ab12_cd34"].append(
+        {"snapshot_id": 1003, "committed_at": clock[0],
+         "summary": {"acx.n_docs": "12"}}
+    )
+    m3 = cat.latest_meta("cc_edges-ab12-cd34")
+    assert m3["version"] == 1003 and m3["n_docs"] == 12
+    # reserved caller meta is rejected before any write
+    with _pytest.raises(ValueError, match="reserved"):
+        cat.write("cc_edges-ab12-cd34", FakeDF(), meta={"path": "x"})
 
 
 import pytest as _pytest
@@ -371,3 +386,48 @@ def test_iceberg_catalog_roundtrip(tmp_path):
     m = cat.latest_meta("edges")
     assert m["n_docs"] == 10 and m["config"] == "fp"
     assert cat.read(s, "edges").count() == 10
+
+
+def test_torn_manifest_reads_as_uncommitted_and_recovers(spark, tmp_path):
+    """A zero-length / garbled MANIFEST.json (crash mid-commit before
+    the rename's data hit disk) must mean 'nothing committed' — not a
+    permanently bricked table: has() False, and the next write starts
+    the table over instead of crashing on the unreadable manifest."""
+    cat = ParquetSnapshotCatalog(tmp_path / "cat")
+    cat.write("t", spark.range(3))
+    (tmp_path / "cat" / "t" / "MANIFEST.json").write_text("")  # torn
+    assert not cat.has("t")
+    v = cat.write("t", spark.range(7))   # recovery write, not a raise
+    assert v == 0
+    assert cat.read(spark, "t").count() == 7
+
+
+def test_reserved_meta_keys_rejected(spark, tmp_path):
+    """Caller meta may not shadow the catalog's own manifest fields —
+    a meta {'version': ...} would corrupt the next write's version
+    arithmetic silently."""
+    import pytest
+
+    cat = ParquetSnapshotCatalog(tmp_path / "cat")
+    for k in ("version", "path", "prior"):
+        with pytest.raises(ValueError, match="reserved"):
+            cat.write("t", spark.range(1), meta={k: "x"})
+
+
+def test_gc_is_commit_ordered_not_name_ordered(spark, tmp_path):
+    """Retention must follow COMMIT order from the manifest, not
+    directory-name order: stray higher-numbered dirs (junk from a
+    recreated manifest or a killed writer) must never push the
+    previous committed snapshot out of the retention window."""
+    cat = ParquetSnapshotCatalog(tmp_path / "cat")
+    tdir = tmp_path / "cat" / "t"
+    cat.write("t", spark.range(1))
+    # strays that sort ABOVE every real snapshot name
+    for j in (5, 6):
+        spark.range(50).write.parquet(str(tdir / f"snap-9999{j:02d}-junk"))
+    cat.write("t", spark.range(2))
+    prev = cat.latest_meta("t")["prior"]
+    assert len(prev) == 1
+    # the previous committed snapshot is retained and still readable
+    assert (tdir / prev[0]).exists()
+    assert spark.read.parquet(str(tdir / prev[0])).count() == 1
