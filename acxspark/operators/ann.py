@@ -602,24 +602,17 @@ def lsh_near_dup_pairs(
             salted and salt_buckets > 1 and hot_sizes.limit(1).count() > 0
         )
 
-        def plain_pairs(rows: DataFrame) -> DataFrame:
-            a = rows.select("band_key", F.col(id_col).alias("id_a"))
-            b = rows.select("band_key", F.col(id_col).alias("id_b"))
-            return (
-                a.join(b, "band_key")
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b")
-            )
+        from acxspark.operators.lsh import plain_pairs
 
         if use_salted:
             hot_keys = F.broadcast(hot_sizes.select("band_key"))
             hot = kc.join(hot_keys, "band_key", "left_semi")
             cold = kc.join(hot_keys, "band_key", "left_anti")
-            cand = plain_pairs(cold).unionByName(
+            cand = plain_pairs(cold, id_col).unionByName(
                 salted_self_join_pairs(hot, id_col, salt_buckets)
             ).distinct()
         else:
-            cand = plain_pairs(kc).distinct()
+            cand = plain_pairs(kc, id_col).distinct()
 
     # exact re-check: vectors join the slim distinct id pairs — the
     # ONLY place embeddings move, and each id's vector moves once per

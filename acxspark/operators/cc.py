@@ -122,37 +122,79 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
 
     Small-graph fast path (round 4): the star-join loop costs
     O(log n) × 2 shuffles + one driver barrier per round — pure
-    scheduling overhead when the deduplicated edge set fits the
-    driver. Below ``small_graph_cap`` edges (and only when no catalog
-    demands per-round resume snapshots) the labels come from a
-    driver-side union-find instead: the SAME min-id-per-component
-    function of the edge set, returned as a broadcastable DataFrame.
-    The probe and the collect are one ``limit(cap+1)`` action (one
-    extra row proves overflow, near_dup_pairs_blocked's device); at
-    10^11-edge web scale the cap routes straight to the distributed
-    loop. Set ``small_graph_cap=0`` to force the distributed path.
+    scheduling overhead when the edge set fits the driver. Below
+    ``small_graph_cap`` RAW edge rows (pre-dedup, so the probe is one
+    shuffle-free ``limit(cap+1)`` Arrow fetch — a graph whose raw rows
+    overflow but whose distinct rows would not conservatively takes
+    the distributed loop) and only when no catalog demands per-round
+    resume snapshots, the labels come from a driver-side union-find:
+    the SAME min-id-per-component function of the edge set, returned
+    as a broadcastable DataFrame. At 10^11-edge web scale the cap
+    routes straight to the distributed loop. Set ``small_graph_cap=0``
+    to force the distributed path.
+
+    Resume is input-guarded: every round's snapshot carries a
+    fingerprint of the ORIGINAL edge set, and a resume whose current
+    edges don't match it recomputes from scratch instead of silently
+    returning another graph's components.
     """
-    e = edges.selectExpr(f"{edges.columns[0]} as u", f"{edges.columns[1]} as v")
-    e = e.filter(F.col("u") != F.col("v")).distinct()
+    # backtick-quote, not selectExpr interpolation: column names with
+    # dots/spaces must not be re-parsed as SQL expressions (df[name]
+    # indexing ALSO parses dots as struct access)
+    c0, c1 = (
+        "`" + c.replace("`", "``") + "`" for c in edges.columns[:2]
+    )
+    e_raw = edges.select(F.col(c0).alias("u"), F.col(c1).alias("v"))
+    e = e_raw.filter(F.col("u") != F.col("v")).distinct()
 
     if catalog is None and small_graph_cap > 0:
-        probe = e.limit(small_graph_cap + 1).collect()
-        if len(probe) <= small_graph_cap:
+        # probe the RAW rows: CollectLimit short-circuits the scan with
+        # no dedup shuffle (the old probe sat above the distinct, which
+        # forced a full-volume shuffle that the over-cap fall-through
+        # then threw away and recomputed). Arrow toPandas, not
+        # collect(): 10^6 Row objects of string urls cost several GB of
+        # driver heap; columnar batches plus plain python lists do not.
+        pdf = e_raw.limit(small_graph_cap + 1).toPandas()
+        if len(pdf) <= small_graph_cap:
             schema = e.select(
                 F.col("u"), F.col("v").alias("component")
             ).schema
+            pairs = [
+                (u, v)
+                for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist())
+                if u != v  # drop self-loops like the distributed path
+            ]
             return _union_find_labels(
-                [(r["u"], r["v"]) for r in probe], e.sparkSession, schema,
+                pairs, e.sparkSession, schema,
                 hint_broadcast=hint_broadcast_labels,
             )
-        del probe  # over cap: fall through to the distributed loop
+        del pdf  # over cap: fall through to the distributed loop
 
     start_iter = 0
-    if catalog is not None and catalog.has(table):
-        e = catalog.read(e.sparkSession, table)
-        start_iter = catalog.latest_meta(table).get("iteration", 0)
-
     prev = None
+    stamp = None
+    if catalog is not None:
+        # checkpoint before stamping: the fingerprint action then
+        # materializes the deduped edges once, and round 0 reads the
+        # checkpoint blocks instead of re-running the distinct shuffle
+        e = e.localCheckpoint(eager=False)
+        stamp = list(_checksum(e))  # fingerprint of the INPUT edges
+        if catalog.has(table):
+            m = catalog.latest_meta(table)
+            if m.get("input") == stamp:
+                e = catalog.read(e.sparkSession, table)
+                # clamp so a resume always runs ≥1 round: with the
+                # restored witness below, an already-converged snapshot
+                # CONFIRMS its fixpoint in that one round and returns —
+                # while a run that genuinely burned max_iter rounds
+                # without converging still raises, never silently
+                # passes
+                start_iter = min(m.get("iteration", 0), max_iter - 1)
+                if m.get("checksum") is not None:
+                    prev = tuple(m["checksum"])
+            # else: stale snapshot from a different edge set under the
+            # same table name — ignore it and recompute from round 0
+
     converged = False
     for i in range(start_iter, max_iter):
         # lazy checkpoint + checksum = ONE driver-synchronized job per
@@ -161,7 +203,9 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
         if catalog is not None:
-            catalog.write(table, e, meta={"iteration": i + 1, "checksum": list(cur)})
+            catalog.write(table, e, meta={"iteration": i + 1,
+                                          "checksum": list(cur),
+                                          "input": stamp})
         if prev == cur:
             converged = True
             break

@@ -134,13 +134,17 @@ def or_key_components(df: DataFrame, id_col: str, key_cols: list[str],
     ])
 
     if small_graph_cap > 0:
-        probe = edges.limit(small_graph_cap + 1).collect()
-        if len(probe) <= small_graph_cap:
+        # Arrow toPandas, not collect(): a cap's worth of Row objects
+        # holding email/url strings costs several GB of driver heap;
+        # columnar batches plus plain python lists do not (same device
+        # as connected_components' probe)
+        pdf = edges.limit(small_graph_cap + 1).toPandas()
+        if len(pdf) <= small_graph_cap:
             return _bipartite_min_labels(
-                [(r["u"], r["v"]) for r in probe],
+                list(zip(pdf["u"].tolist(), pdf["v"].tolist())),
                 edges.sparkSession, out_schema,
             )
-        del probe
+        del pdf
 
     if hash_nodes:
         # screen EVERY hash that will meet the join below: edge nodes

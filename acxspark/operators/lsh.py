@@ -188,15 +188,6 @@ def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
     bk = bk.join(F.broadcast(sizes.filter(F.col("band_n") > cfg.max_band_size)),
                  "band_key", "left_anti")
 
-    def plain_pairs(rows: DataFrame) -> DataFrame:
-        a = rows.select(F.col("band_key"), F.col(id_col).alias("id_a"))
-        b = rows.select(F.col("band_key"), F.col(id_col).alias("id_b"))
-        return (
-            a.join(b, "band_key")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-
     if salted and cfg.band_salt_buckets > 1:
         # ADAPTIVE salting: replication costs (s+1)/2× rows, so only
         # bands hot enough to skew a reducer pay it; the cold majority
@@ -212,13 +203,13 @@ def candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash",
         hot = bk.join(hot_keys, "band_key", "left_semi")
         cold = bk.join(hot_keys, "band_key", "left_anti")
         return (
-            plain_pairs(cold)
+            plain_pairs(cold, id_col)
             .unionByName(
                 salted_self_join_pairs(hot, id_col, cfg.band_salt_buckets)
             )
             .distinct()
         )
-    return plain_pairs(bk).distinct()
+    return plain_pairs(bk, id_col).distinct()
 
 
 def join_back_ids(pairs: DataFrame, df: DataFrame, id_col: str,
@@ -295,6 +286,20 @@ def bucket_pairs(rows: DataFrame, id_col: str,
         grouped.select(F.col("ids"), F.explode("ids").alias("id_a"))
         .select(F.col("id_a"), F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def plain_pairs(rows: DataFrame, id_col: str) -> DataFrame:
+    """Triangular (id_a < id_b) pairs within each ``band_key`` via the
+    plain self-join — the cold-band complement of
+    :func:`salted_self_join_pairs`, shared by the LSH, SimHash and ANN
+    tiers (one definition, not three hand-synced copies)."""
+    a = rows.select(F.col("band_key"), F.col(id_col).alias("id_a"))
+    b = rows.select(F.col("band_key"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
     )
 
 

@@ -310,20 +310,13 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str,
             .distinct()
         )
 
-    def plain_pairs(rows: DataFrame) -> DataFrame:
-        a = rows.select("band_key", F.col(id_col).alias("id_a"))
-        b = rows.select("band_key", F.col(id_col).alias("id_b"))
-        return (
-            a.join(b, "band_key")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
+    from acxspark.operators.lsh import plain_pairs
 
     hot_keys = F.broadcast(hot_sizes.select("band_key"))
     slim = kc.select("band_key", id_col)
     hot = slim.join(hot_keys, "band_key", "left_semi")
     cold = slim.join(hot_keys, "band_key", "left_anti")
-    cand = plain_pairs(cold).unionByName(
+    cand = plain_pairs(cold, id_col).unionByName(
         salted_self_join_pairs(hot, id_col, cfg.band_salt_buckets)
     ).distinct()
     a = sims.select(F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"))

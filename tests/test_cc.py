@@ -111,3 +111,48 @@ def test_small_graph_cap_routes_to_distributed(spark):
     # chain of 11 nodes -> one component labeled 0
     got = {(r["u"], r["component"]) for r in out.collect()}
     assert got == {(i, 0) for i in range(11)}
+
+
+def test_cc_resume_ignores_stale_snapshot_of_other_graph(spark, tmp_path):
+    """Resume is input-guarded: reusing a catalog table name with a
+    DIFFERENT edge set must recompute that graph, never silently
+    return the previous graph's components."""
+    cat = ParquetSnapshotCatalog(tmp_path / "cat")
+    eA = spark.createDataFrame([("a", "b"), ("b", "c"), ("x", "y")],
+                               "u string, v string")
+    labA = {r["u"]: r["component"]
+            for r in connected_components(eA, catalog=cat,
+                                          table="t").collect()}
+    assert labA == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    eB = spark.createDataFrame([("p", "q")], "u string, v string")
+    labB = {r["u"]: r["component"]
+            for r in connected_components(eB, catalog=cat,
+                                          table="t").collect()}
+    assert labB == {"p": "p", "q": "p"}
+
+
+def test_cc_resume_of_converged_run_confirms_in_one_round(spark, tmp_path):
+    """A resume whose snapshot already sits at the fixpoint must
+    return (one confirmation round) even when the committed iteration
+    has reached max_iter — the restored checksum witness makes the
+    confirmation round detect convergence instead of raising."""
+    cat = ParquetSnapshotCatalog(tmp_path / "cat")
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "u string, v string")
+    lab1 = {r["u"]: r["component"]
+            for r in connected_components(e, catalog=cat,
+                                          table="t").collect()}
+    it = cat.latest_meta("t")["iteration"]
+    # resume with max_iter == committed iteration: previously raised
+    # 'no fixpoint'; now the clamped single confirmation round passes
+    lab2 = {r["u"]: r["component"]
+            for r in connected_components(e, catalog=cat, table="t",
+                                          max_iter=it).collect()}
+    assert lab2 == lab1 == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_cc_handles_exotic_column_names(spark):
+    """Edge columns with dots must not be re-parsed as struct access."""
+    e = spark.createDataFrame([("a", "b")], ["doc.id_a", "doc.id_b"])
+    lab = {r["u"]: r["component"]
+           for r in connected_components(e).collect()}
+    assert lab == {"a": "a", "b": "a"}
