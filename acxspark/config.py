@@ -109,8 +109,18 @@ class DedupConfig:
             )
 
     def fingerprint(self) -> str:
-        """Stable hash of the full config — recorded in lineage."""
-        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        """Stable hash of the full config PLUS the signature-kernel
+        algorithm version — recorded in lineage and compared by every
+        snapshot-resume stamp. The version term makes snapshots from a
+        code revision whose kernels produce DIFFERENT VALUES for the
+        same config (e.g. the OPH binning/densification fix) read as
+        stale-and-recompute instead of silently mixing incompatible
+        signatures in an incremental run."""
+        from acxspark.operators.signatures import SIG_ALGO_VERSION
+
+        blob = json.dumps(
+            {**asdict(self), "_sig_algo": SIG_ALGO_VERSION}, sort_keys=True
+        ).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 
 

@@ -128,7 +128,12 @@ def build_bloom(df: DataFrame, key_col: str, n_shards: int,
             {
                 "shard": [int(pdf["shard"].iloc[0])],
                 "bitmap": [words.tobytes()],
-                "n_items": [len(pdf)],
+                # distinct keys, not raw rows: fpp math reads this
+                # column, and duplicate input keys don't add set bits.
+                # (merge_blooms sums shard counts across deltas, so a
+                # merged artifact's n_items is an UPPER bound on
+                # distinct keys when deltas overlap.)
+                "n_items": [int(pdf["_h"].nunique())],
                 "m_bits": [m],
                 "k": [k],
             }

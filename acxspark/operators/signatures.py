@@ -129,6 +129,13 @@ def _window_poly(flat: np.ndarray, lens: np.ndarray, k: int
     return out[:s_total], n_sh
 
 
+#: bump whenever ANY signature kernel changes the VALUES it emits for
+#: an unchanged config (config.fingerprint mixes this in, so committed
+#: snapshots from older kernels read as stale and recompute instead of
+#: silently mixing incompatible signatures). v2: OPH multiply-shift
+#: binning + positional nearest-left densification.
+SIG_ALGO_VERSION = 2
+
 _OPH_A = np.uint64(0xBF58476D1CE4E5B9)  # splitmix64 constants (public)
 _OPH_C = np.uint64(0x94D049BB133111EB)
 _DENSE_K = np.uint64(0x2545F4914F6CDD1D)
@@ -199,7 +206,6 @@ def _minhash_oph_flat(shingles: np.ndarray, n_sh: np.ndarray, num_perm: int,
     r_total = len(n_sh)
     out_u = np.full(r_total * p, _U64MAX, dtype=np.uint64)
     if len(shingles):
-        shift = np.uint64(64 - int(p).bit_length() + 1)  # 64 - log2(p)
         with np.errstate(over="ignore"):
             h = (shingles + np.uint64(seed)) * _OPH_A + _OPH_C
             h ^= h >> np.uint64(31)
@@ -207,23 +213,40 @@ def _minhash_oph_flat(shingles: np.ndarray, n_sh: np.ndarray, num_perm: int,
         # for 1-D integer indexing — 3ms/900k vs 56ms for the sort it
         # replaces, and the (R×P) accumulator stays cache-resident, so
         # the stage stops being DRAM-bound under 32 concurrent workers.
+        # bin via multiply-shift range reduction — uniform over [0, p)
+        # for ANY p (the former top-bits shift confined bins to the
+        # largest power of two ≤ p, permanently starving up to half
+        # the slots whenever num_perm wasn't a power of two).
         key = np.repeat(np.arange(r_total, dtype=np.int64) * p, n_sh)
-        key += (h >> shift).astype(np.int64)
+        with np.errstate(over="ignore"):
+            key += (
+                (h >> np.uint64(32)) * np.uint64(p) >> np.uint64(32)
+            ).astype(np.int64)
         np.minimum.at(out_u, key, h)
     out_u = out_u.reshape(r_total, p)
 
     # rotation densification, fully vectorized: nearest filled bin to
-    # the left (circular) via a doubled maximum.accumulate
+    # the left (circular) via a doubled maximum.accumulate. Markers
+    # are DOUBLED-ARRAY POSITIONS, not bin indices: accumulate over
+    # positions yields the most recent filled position at-or-left of
+    # each slot (positions are monotone, so max == latest), which is
+    # exactly nearest-left; accumulating bin indices instead saturated
+    # at the row's GLOBAL max filled bin, making every empty bin
+    # borrow from one source and breaking the per-slot ≈Jaccard
+    # collision property on sparse docs.
     filled = out_u != _U64MAX
     any_filled = filled.any(axis=1)
     col = np.arange(p, dtype=np.int64)
-    idx = np.where(filled, col[None, :], np.int64(-1))
-    idx2 = np.concatenate([idx, idx], axis=1)
+    pos = np.arange(2 * p, dtype=np.int64)
+    filled2 = np.concatenate([filled, filled], axis=1)
+    idx2 = np.where(filled2, pos[None, :], np.int64(-1))
     run = np.maximum.accumulate(idx2, axis=1)
-    src = run[:, p:]  # for each bin: index of nearest filled bin at or left of it
-    src_safe = np.where(src >= 0, src, 0)
+    q = run[:, p:]  # most recent filled doubled-position ≤ p+j
+    src_safe = np.where(q >= 0, q % p, 0)
     borrowed = np.take_along_axis(out_u, src_safe.astype(np.intp), axis=1)
-    dist = ((col[None, :] - src) % p).astype(np.uint64)
+    # circular left-distance: (p + j) - q ∈ [0, p) whenever the row
+    # has any filled bin
+    dist = (p + col[None, :] - np.where(q >= 0, q, 0)).astype(np.uint64)
     with np.errstate(over="ignore"):
         densified = borrowed + dist * _DENSE_K
     out_u = np.where(filled, out_u, densified)
@@ -301,6 +324,11 @@ def compute_signatures(tok_hashes: pd.Series, k: int, num_perm: int,
     'oph' (one-permutation + densification, bandwidth-light).
     ``drop``: optional sorted int64 array of shingle hashes to remove
     before signature computation (the doc-frequency cut)."""
+    if minhash_mode not in ("kperm", "oph"):
+        # loud, not silent: a typo'd mode must never quietly compute a
+        # DIFFERENT estimator's signatures
+        raise ValueError(f"unknown minhash_mode {minhash_mode!r} "
+                         "(expected 'kperm' or 'oph')")
     flat, lens = _flatten(tok_hashes)
     shingles, n_sh = _window_poly(flat, lens, k)
     if drop is not None:
@@ -347,8 +375,18 @@ def _make_sig_udf_dfcut(k: int, num_perm: int, seed: int,
     return _sig
 
 
+def _check_mode(mode: str) -> str:
+    """Driver-side fail-fast twin of compute_signatures' own check —
+    a typo'd mode should error at plan-build time, not in an executor
+    batch."""
+    if mode not in ("kperm", "oph"):
+        raise ValueError(f"unknown minhash_mode {mode!r} "
+                         "(expected 'kperm' or 'oph')")
+    return mode
+
+
 def signature_col(text_col, cfg: DedupConfig = DEFAULT_CONFIG) -> Column:
-    mode = getattr(cfg, "minhash_mode", "kperm")
+    mode = _check_mode(getattr(cfg, "minhash_mode", "kperm"))
     return _make_sig_udf(cfg.shingle_k, cfg.num_perm, cfg.seed, mode)(
         token_hashes(text_col, cfg.seed)
     )
@@ -378,7 +416,9 @@ def hot_shingle_hashes(df: DataFrame, text_col: str,
             == 0
         )
     n_docs = df.count()
-    threshold = int(cfg.shingle_max_doc_freq * n_docs)
+    # floor at 1: fraction × tiny-corpus truncates to 0, which would
+    # mark every gram in ≥1 doc hot and silently EMPTY every signature
+    threshold = max(int(cfg.shingle_max_doc_freq * n_docs), 1)
     ex = df.select(
         F.explode(
             F.array_distinct(
@@ -396,7 +436,8 @@ def hot_shingle_hashes(df: DataFrame, text_col: str,
 
 def with_signatures(df: DataFrame, text_col: str = "text",
                     cfg: DedupConfig = DEFAULT_CONFIG,
-                    id_col: str = "url") -> DataFrame:
+                    id_col: str = "url",
+                    hot_hashes: np.ndarray | None = None) -> DataFrame:
     """(id, shingles, minhash, simhash) — the one signature scan the
     whole pipeline shares.
 
@@ -406,14 +447,22 @@ def with_signatures(df: DataFrame, text_col: str = "text",
     on the doc-frequency-cut shingle multiset, which is the point:
     boilerplate grams stop synchronizing MinHash minima across
     unrelated documents, so band buckets stop growing linearly with
-    corpus size (the mid-size quadratic candidate ramp)."""
+    corpus size (the mid-size quadratic candidate ramp).
+
+    ``hot_hashes``: a PRE-COMPUTED sorted drop set to use instead of
+    deriving one from ``df``. Incremental runs MUST pass the base
+    corpus's committed set (plans/incremental.py): a delta-derived set
+    diverges from the one the committed signatures were cut with, and
+    signatures computed over different gram sets neither band-collide
+    nor Jaccard-compare correctly."""
     mdf = getattr(cfg, "shingle_max_doc_freq", None)
     if mdf is None:
         sig = signature_col(F.col(text_col), cfg)
     else:
-        drop = hot_shingle_hashes(df, text_col, cfg)
+        drop = hot_hashes if hot_hashes is not None \
+            else hot_shingle_hashes(df, text_col, cfg)
         drop_bc = df.sparkSession.sparkContext.broadcast(drop)
-        mode = getattr(cfg, "minhash_mode", "kperm")
+        mode = _check_mode(getattr(cfg, "minhash_mode", "kperm"))
         sig = _make_sig_udf_dfcut(
             cfg.shingle_k, cfg.num_perm, cfg.seed, mode, drop_bc
         )(token_hashes(F.col(text_col), cfg.seed))

@@ -142,8 +142,11 @@ def containment_edges(pairs: DataFrame, docs: DataFrame, id_col: str,
     ``locate``, and Java's naive indexOf can only degenerate on pairs
     that already share a 64-char block.
 
-    ``impl='python'`` keeps the applyInPandas path (grouped by id_a,
-    head(max_group_docs) per group) — the parity twin for tests and
+    ``impl='python'`` keeps the applyInPandas path (grouped by id_a;
+    ``max_group_docs`` caps the PAIRS evaluated per group, applied
+    after an in-group sort on id_b so the truncated subset is
+    deterministic — applyInPandas delivers rows in shuffle-arrival
+    order, which varies run to run) — the parity twin for tests and
     for adversarial corpora where CPython's two-way search beats
     naive indexOf. ``use_suffix_array=True`` (implies the python
     path) keeps the per-group suffix-array probe (north_rule names
@@ -183,7 +186,9 @@ def containment_edges(pairs: DataFrame, docs: DataFrame, id_col: str,
         )
 
     def check(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.head(max_group_docs)
+        # deterministic truncation: sort before head — group row order
+        # is shuffle-arrival order and differs across runs/parallelism
+        pdf = pdf.sort_values("id_b", kind="mergesort").head(max_group_docs)
         rows = []
         sa_cache: dict[str, list[int]] = {}
         for r in pdf.itertuples(index=False):

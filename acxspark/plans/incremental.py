@@ -203,8 +203,47 @@ def run_incremental(new_web: DataFrame, catalog,
         new_docs.join(refetch_urls, "url", "left_anti"),
         "incr_signed",
     )
+    drop_set = None
+    if getattr(cfg, "shingle_max_doc_freq", None) is not None:
+        # the delta MUST be signed with the BASE corpus's committed
+        # drop set: a delta-derived set cuts a different gram
+        # population, and signatures over different gram sets neither
+        # band-collide nor Jaccard-compare against the snapshot
+        import sys
+
+        import numpy as np
+
+        # coherence gate: the drop set is only trustworthy when its
+        # stamp matches the signatures snapshot it was derived with —
+        # a set left behind by an older/aborted run would diverge from
+        # the committed signatures, the exact drift this path prevents
+        coherent = False
+        if catalog.has("hot_shingles"):
+            hm = catalog.latest_meta("hot_shingles")
+            sm = catalog.latest_meta("signatures")
+            coherent = all(
+                hm.get(k) == sm.get(k)
+                for k in ("config", "n_docs", "input_hash")
+            )
+        if coherent:
+            drop_set = np.sort(np.array(
+                [r["h"] for r in
+                 catalog.read(spark, "hot_shingles").collect()],
+                dtype=np.int64,
+            ))
+        else:
+            print(
+                "acxspark.incremental: shingle_max_doc_freq set but no "
+                "committed hot_shingles snapshot matches the "
+                "signatures stamp — falling back to a DELTA-derived "
+                "drop set, which may diverge from the base signatures "
+                "(re-run the full pipeline with a catalog to commit a "
+                "coherent one)",
+                file=sys.stderr,
+            )
     new_sigs = with_signatures(
-        to_sign, text_col=text_col, cfg=cfg, id_col="url"
+        to_sign, text_col=text_col, cfg=cfg, id_col="url",
+        hot_hashes=drop_set,
     ).join(new_hashed, "url").persist()
     caches.append(new_sigs)
 

@@ -279,9 +279,20 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     if _fresh("signatures"):
         sigs = catalog.read(spark, "signatures").persist()
     else:
+        sign_input = docs.join(reps, "url", "left_semi")
+        hot = None
+        if getattr(cfg, "shingle_max_doc_freq", None) is not None:
+            # derive the doc-frequency drop set HERE (not inside
+            # with_signatures) so it can be committed: increments must
+            # sign their deltas with the BASE corpus's set — a
+            # delta-derived set diverges and breaks band collisions
+            # against the committed signatures (plans/incremental.py)
+            from acxspark.operators.signatures import hot_shingle_hashes
+
+            hot = hot_shingle_hashes(sign_input, text_col, cfg)
         sigs = with_signatures(
-            docs.join(reps, "url", "left_semi"),
-            text_col=text_col, cfg=cfg, id_col="url",
+            sign_input, text_col=text_col, cfg=cfg, id_col="url",
+            hot_hashes=hot,
         )
         if catalog is not None:
             # the checkpoint anchor (docs/SCALE.md): the signature
@@ -299,6 +310,18 @@ def run_pipeline(web: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
             )
             catalog.write("signatures", sigs.join(rep_sha, "url"), meta=wmeta)
             sigs = catalog.read(spark, "signatures")
+            if hot is not None:
+                # committed AFTER signatures, same stamp: a crash
+                # during the signature scan must not leave a
+                # new-stamp drop set beside old signatures — the
+                # increment's coherence check (plans/incremental.py)
+                # compares these stamps before trusting the set
+                catalog.write(
+                    "hot_shingles",
+                    spark.createDataFrame([(int(x),) for x in hot],
+                                          "h long"),
+                    meta=wmeta,
+                )
             # membership artifact over the committed sha set: lets
             # every later INCREMENT (plans/incremental.py) answer
             # "was this text ever committed?" without the once-per-

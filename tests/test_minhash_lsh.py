@@ -181,3 +181,104 @@ def test_simhash_cap_drop_counter_observable(spark):
     # 8 identical docs share all 4 chunk buckets; cap=3 drops them all
     assert r["dropped_by_cap"] >= 8 * 4
     assert r["total"] > r["dropped_by_cap"]
+
+
+# ---- OPH mode (minhash_mode='oph') kernel pinning -------------------
+
+
+def _oph_reference(rows, p, seed):
+    """Per-row pure-python twin of signatures._minhash_oph_flat:
+    multiply-shift binning, scatter-min, nearest-LEFT circular
+    rotation densification with the distance-keyed mix."""
+    from acxspark.operators import signatures as S
+
+    M = (1 << 64) - 1
+    A, C, K = int(S._OPH_A), int(S._OPH_C), int(S._DENSE_K)
+    out = []
+    for hs in rows:
+        slots = [None] * p
+        for s in hs:
+            h = ((int(s) + seed) * A + C) & M
+            h ^= h >> 31
+            b = ((h >> 32) * p) >> 32
+            if slots[b] is None or h < slots[b]:
+                slots[b] = h
+        if all(v is None for v in slots):
+            out.append([np.int64(np.uint64((1 << 63) - 1))] * p)
+            continue
+        dense = []
+        for j in range(p):
+            if slots[j] is not None:
+                dense.append(slots[j])
+                continue
+            d = 1
+            while slots[(j - d) % p] is None:
+                d += 1
+            dense.append((slots[(j - d) % p] + d * K) & M)
+        out.append([np.int64(np.uint64(v)) for v in dense])
+    return np.array(out, dtype=np.int64)
+
+
+def test_oph_kernel_matches_per_row_reference():
+    from acxspark.operators.signatures import _minhash_oph_flat
+
+    rng = np.random.default_rng(7)
+    for p in (16, 100, 128):     # incl. a NON-power-of-two bin count
+        rows = [
+            rng.integers(0, 1 << 63, size=n, dtype=np.int64).astype(np.uint64)
+            for n in (0, 1, 3, 7, 40, 500)  # sparse docs exercise
+        ]                                    # the densification path
+        flat = np.concatenate([r for r in rows if len(r)]) \
+            if any(len(r) for r in rows) else np.array([], dtype=np.uint64)
+        n_sh = np.array([len(r) for r in rows], dtype=np.int64)
+        got = _minhash_oph_flat(flat, n_sh, p, seed=42)
+        want = _oph_reference(rows, p, seed=42)
+        assert np.array_equal(got, want)
+
+
+def test_oph_bins_cover_all_slots_for_non_power_of_two():
+    """Multiply-shift binning must reach EVERY slot (the former
+    top-bits shift starved slots >= 2^floor(log2 p) forever)."""
+    from acxspark.operators.signatures import _minhash_oph_flat
+
+    rng = np.random.default_rng(3)
+    hs = rng.integers(0, 1 << 63, size=20_000, dtype=np.int64).astype(np.uint64)
+    p = 100
+    sig = _minhash_oph_flat(hs, np.array([len(hs)]), p, seed=1)[0]
+    # a dense doc fills every bin directly: no two adjacent slots may
+    # both be densified borrows; cheap proxy — all values distinct and
+    # none equals the empty sentinel
+    assert len(set(sig.tolist())) == p
+
+
+def test_oph_slot_agreement_tracks_jaccard():
+    """Per-slot collision probability ≈ Jaccard (the estimator
+    property the broken bin-index densification violated)."""
+    from acxspark.operators.signatures import _minhash_oph_flat
+
+    rng = np.random.default_rng(11)
+    shared = rng.integers(0, 1 << 63, size=60, dtype=np.int64).astype(np.uint64)
+    only_a = rng.integers(0, 1 << 63, size=30, dtype=np.int64).astype(np.uint64)
+    only_b = rng.integers(0, 1 << 63, size=30, dtype=np.int64).astype(np.uint64)
+    a = np.concatenate([shared, only_a])     # J = 60 / 120 = 0.5
+    b = np.concatenate([shared, only_b])
+    agree = total = 0
+    for seed in range(40):                   # independent sketches
+        flat = np.concatenate([a, b])
+        n_sh = np.array([len(a), len(b)])
+        sig = _minhash_oph_flat(flat, n_sh, 128, seed=seed)
+        agree += int((sig[0] == sig[1]).sum())
+        total += 128
+    assert abs(agree / total - 0.5) < 0.05
+
+
+def test_unknown_minhash_mode_raises():
+    import pytest as _pytest
+
+    from acxspark.operators.signatures import compute_signatures, signature_col
+
+    with _pytest.raises(ValueError, match="minhash_mode"):
+        compute_signatures(pd.Series([[1, 2, 3]]), 3, 8, 1,
+                           minhash_mode="kprem")
+    with _pytest.raises(ValueError, match="minhash_mode"):
+        signature_col(F.lit("x"), DedupConfig(minhash_mode="oph "))

@@ -250,3 +250,50 @@ def test_embedding_lsh_complete_at_sf01(spark):
         e, "vec_id", "embedding", threshold=0.5, n_planes=4,
         n_tables=32).collect()}
     assert lsh == exact, (len(lsh), len(exact))
+
+
+def test_dfcut_incremental_uses_committed_hot_set(spark, tmp_path):
+    """Increments must sign their delta with the BASE corpus's
+    committed drop set: a boilerplate gram that is corpus-hot but
+    absent from the delta would otherwise survive in the delta's
+    signatures, breaking band collisions against the snapshot. The
+    committed hot_shingles snapshot carries the set across runs; a
+    delta near-dup of a committed doc must still join its cluster."""
+    from acxspark.catalog import ParquetSnapshotCatalog
+    from acxspark.config import DedupConfig
+    from acxspark.plans.incremental import run_incremental
+
+    boiler = ("all rights reserved copyright terms of service privacy "
+              "policy contact us about careers press blog help center ")
+
+    def body(i: int, w: str = "winter") -> str:
+        # ~80 tokens, all doc-unique (so only the BOILERPLATE is
+        # corpus-hot); a one-word edit stays well above the Jaccard
+        # threshold
+        words = " ".join(f"tok{i}x{j}" for j in range(75))
+        return f"story {i} begins {words} under a pale {w} sky "
+
+    rows = [(f"u{i}", boiler * 3 + body(i)) for i in range(30)]
+    cfg = DedupConfig(shingle_max_doc_freq=0.5)
+    cat = ParquetSnapshotCatalog(tmp_path / "cat")
+    web = spark.createDataFrame(rows, "url string, text string")
+    res = run_pipeline(web, cfg=cfg, catalog=cat)
+    res.release()
+    assert cat.has("hot_shingles")  # the base committed its drop set
+
+    # delta: near-dup of u3 (one-word edit). In the 2-doc delta the
+    # boilerplate sits at df=0.5 — NOT hot by delta-local counting —
+    # so only the committed corpus set cuts it; signing the delta
+    # with delta-local frequencies would keep the boilerplate grams
+    # and dilute the Jaccard against u3's committed signature
+    delta = spark.createDataFrame(
+        [("d1", boiler * 3 + body(3, "summer")),
+         ("d2", "entirely new content " * 15)],
+        "url string, text string",
+    )
+    inc = run_incremental(delta, cat, cfg=cfg)
+    got = {r["url"]: r["cluster_id"] for r in inc.assignments.collect()}
+    for df in inc.caches:
+        df.unpersist()
+    assert got["d1"] == "u3"   # near-dup found against the snapshot
+    assert got["d2"] == "d2"
