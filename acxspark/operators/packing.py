@@ -16,7 +16,7 @@ rows). The implementation here is the classic two-level distributed
 prefix sum instead, with the twist that the level-1 "partition" is
 DATA-derived, not layout-derived:
 
-1. order key ``h = md5(id || seed)`` (the deterministic shuffle a
+1. order key ``h = md5(id || ':pack:' || seed)`` (the deterministic shuffle a
    training pipeline wants anyway);
 2. bucket = the first ``bucket_chars`` hex chars of ``h`` — a PREFIX
    of the order key, so ordering by (bucket, h, id) equals ordering
@@ -43,10 +43,15 @@ from pyspark.sql import functions as F
 
 
 def packing_order(id_col: str, seed: int, bucket_chars: int = 2):
-    """(order-hash, bucket) column pair: md5(id || ':' || seed) and
-    its first ``bucket_chars`` hex chars. The bucket is a prefix of
-    the hash, so (bucket, hash) ordering == global hash ordering."""
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    """(order-hash, bucket) column pair: md5(id || ':pack:' || seed)
+    and its first ``bucket_chars`` hex chars. The bucket is a prefix
+    of the hash, so (bucket, hash) ordering == global hash ordering.
+    Domain-separated from the sample/quota/split draws
+    (sampling.seeded_order_hash) so packing order is independent of
+    which docs a default-seed sample or holdout picks."""
+    from acxspark.operators.sampling import seeded_order_hash
+
+    h = seeded_order_hash(id_col, seed, "pack")
     return h, F.substring(h, 1, bucket_chars)
 
 
@@ -58,7 +63,7 @@ def with_global_offsets(
     bucket_chars: int = 2,
 ) -> DataFrame:
     """Attach ``start_offset`` — each row's exclusive prefix sum of
-    ``token_col`` under the deterministic shuffle order md5(id, seed)
+    ``token_col`` under the deterministic shuffle order md5(id, ':pack:', seed)
     — via the two-level prefix sum described in the module docstring.
     Equals ``SUM(tok) OVER (ORDER BY h, id ROWS UNBOUNDED PRECEDING
     AND 1 PRECEDING)`` without the single-reducer global window."""
@@ -117,8 +122,12 @@ def pack_token_budget(
     doc STARTS in; docs may straddle a boundary, exactly as a packed
     pretraining stream does)."""
     out = with_global_offsets(df, token_col, id_col, seed, bucket_chars)
+    # integer `div`, never float `/`+floor: Spark's `/` is DOUBLE
+    # division, and past ~2^52 total tokens (well inside the 10^12-doc
+    # envelope) a doc one token before a shard boundary can round UP
+    # into the wrong shard
     return out.withColumn(
-        "shard_id", F.floor(F.col("start_offset") / F.lit(budget)).cast("long")
+        "shard_id", F.expr(f"start_offset div {int(budget)}").cast("long")
     )
 
 
@@ -144,10 +153,15 @@ def write_packed_shards(
     (
         packed.withColumn(
             "shard_file",
-            F.floor(F.col("shard_id") / F.lit(shards_per_file)).cast("long"),
+            F.expr(f"shard_id div {int(shards_per_file)}").cast("long"),
         )
         .repartition("shard_file")
-        .sortWithinPartitions("start_offset")
+        # shard_file must LEAD the sort: the dynamic-partition write
+        # requires ordering by the partition column, and sorting by
+        # start_offset alone makes Spark insert its own shard_file-only
+        # sort whose stability (and thus the per-file stream order) is
+        # not guaranteed once it spills
+        .sortWithinPartitions("shard_file", "start_offset")
         .write.mode("overwrite")
         .partitionBy("shard_file")
         .parquet(path)
@@ -161,17 +175,21 @@ def train_val_split(
     seed: int = 42,
 ) -> DataFrame:
     """Deterministic holdout split: ``split = 'val'`` iff the first 8
-    hex chars of md5(id || seed) land in the lowest ``val_pct``% of
+    hex chars of md5(id || ':split:' || seed) land in the lowest ``val_pct``% of
     the 32-bit space. A pure map-side column expression — no shuffle,
     no sampling state, reproducible on any engine (the md5 keying is
     the same device as the reservoir sample / packing order), and a
     doc's split never changes as the corpus grows — the property a
     training pipeline needs so validation documents stay quarantined
     across recrawls."""
+    from acxspark.operators.sampling import seeded_order_hash
+
+    # ':split:' domain: the holdout must be INDEPENDENT of the other
+    # seeded draws — with a shared key, a default-seed sample's docs
+    # all landed in 'val' (lowest hashes are both "sampled first" and
+    # "below the val cut")
     h32 = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 8
-        ),
+        F.substring(seeded_order_hash(id_col, seed, "split"), 1, 8),
         16,
         10,
     ).cast("long")

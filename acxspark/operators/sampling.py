@@ -19,8 +19,25 @@ top-n.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def seeded_order_hash(id_col: str, seed: int, domain: str) -> Column:
+    """``md5(id || ':<domain>:<seed>')`` — THE deterministic draw key
+    for every seeded ordering in the curation tier (sampling, quota,
+    packing order, train/val split; their DuckDB oracle twins build
+    the same literal).
+
+    ``domain`` separates the operators' hash streams: without it,
+    identical (id, seed) keys made every draw perfectly CORRELATED —
+    e.g. the lowest-hash docs were simultaneously "sampled first",
+    "packed first", and "val", so a default-seed sample landed
+    entirely inside the val split instead of ~val_pct% of it.
+    """
+    return F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{domain}:{seed}"))
+    )
 
 
 def stratified_sample_exact(
@@ -34,9 +51,7 @@ def stratified_sample_exact(
     """Exactly ``min(n_per_stratum, |stratum|)`` rows per stratum,
     chosen by seeded md5 rank (engine-portable; ties broken by id).
     Output columns = input columns."""
-    h = F.md5(
-        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
-    ).alias("_h")
+    h = seeded_order_hash(id_col, seed, "sample").alias("_h")
     salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets))
     w1 = Window.partitionBy(strata_col, "_salt").orderBy("_h", id_col)
     w2 = Window.partitionBy(strata_col).orderBy("_h", id_col)
@@ -66,10 +81,24 @@ def quota_sample_exact(
     skew defense, same determinism, same equivalence argument: each
     level-1 bucket forwards its own top-``quota`` rows, which always
     contains the stratum's global top-``quota``."""
+    # duplicate-stratum guard: the inner join below would multiply a
+    # duplicated stratum's rows BEFORE ranking (the draw could then
+    # return the same id twice) — a quota table is one row per
+    # source/host/lang by contract, so a dup is a caller bug worth a
+    # loud error; the table is broadcast-small, the check costs one
+    # tiny agg. (Strata present in df but absent from quota_df draw
+    # nothing — quota 0 — by the same join.)
+    dup = (
+        quota_df.groupBy(strata_col).count()
+        .filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            f"quota_df has duplicate {strata_col!r} rows — "
+            "one quota per stratum required"
+        )
     q = F.broadcast(quota_df.select(strata_col, "quota"))
-    h = F.md5(
-        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
-    ).alias("_h")
+    h = seeded_order_hash(id_col, seed, "quota").alias("_h")
     salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets))
     w1 = Window.partitionBy(strata_col, "_salt").orderBy("_h", id_col)
     w2 = Window.partitionBy(strata_col).orderBy("_h", id_col)

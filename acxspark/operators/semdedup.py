@@ -32,8 +32,10 @@ Both paths feed the same large-star/small-star connected components
 checksum per round crosses the driver) and the same deterministic
 keeper rule: min id per component survives. Cell-restricted recall
 vs the exact path is pytest-gated (tests/test_semdedup.py); pair
-precision is exact by construction (every emitted pair re-checks
-true cosine ≥ τ).
+precision: every emitted pair re-checks cosine, thresholded on the
+``sim_decimals``-ROUNDED value (both engines round identically, so
+oracle parity is exact; true cosine may sit up to half an ulp of the
+rounding — 5e-5 at the default 4 decimals — below τ).
 """
 from __future__ import annotations
 
@@ -195,9 +197,26 @@ def semantic_dedup(
         # — nil at any scale). min(struct(id, vec)) partial-aggregates
         # map-side, so a 10⁶-copy flood forwards ONE candidate row per
         # partition, and each distinct vector rides the shuffle once.
+        #
+        # degenerate (≈zero-norm) vectors are routed AROUND the
+        # collapse: cosine is undefined for them, the pair paths emit
+        # no edges among them, and "identical ⇒ cosine 1 ≥ τ" — the
+        # justification for the dup→rep edges — does not hold, so
+        # collapsing them would DELETE failed-encoder docs the
+        # pair-path semantics keep. They still ride `work` (where the
+        # kernels ignore them), preserving collapse on/off equality.
+        nrm2 = F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+        degenerate = corpus.filter(nrm2 < F.lit(1e-24)).select(
+            F.col(id_col), F.col(vec_col)
+        )
+        corpus_ok = corpus.filter(nrm2 >= F.lit(1e-24))
         k1 = F.xxhash64(F.col(vec_col))
         k2 = F.xxhash64(F.col(vec_col), F.lit(1))
-        keyed = corpus.select(
+        keyed = corpus_ok.select(
             F.col(id_col), F.col(vec_col),
             k1.alias("_k1"), k2.alias("_k2"),
         )
@@ -218,7 +237,7 @@ def semantic_dedup(
         work = reps.select(
             F.col(f"_r.{id_col}").alias(id_col),
             F.col(f"_r.{vec_col}").alias(vec_col),
-        )
+        ).unionByName(degenerate)
     else:
         exact_edges = None
         work = corpus.select(id_col, vec_col)

@@ -163,11 +163,13 @@ def run_curation(
         else survivors
     )
     packed = (
-        # derived, not raw: packing shouldn't shadow the sample's
-        # stream, but it MUST follow the chain's seed (a caller varying
-        # `seed` expects a different packing order, not a pinned one)
+        # the operators now domain-separate their own hash streams
+        # (sampling.seeded_order_hash), so the chain seed passes
+        # through unscrambled — a caller varying `seed` still gets a
+        # different packing order, and sample/pack independence is the
+        # operators' guarantee, not this caller's
         pack_token_budget(sampled, "tok_ws", id_col, budget=pack_budget,
-                          seed=seed * 2654435761 % (2**31))
+                          seed=seed)
         if pack_budget
         else None
     )

@@ -21,7 +21,7 @@ def _corpus(spark, n=400):
 
 
 def _naive_offsets(df, seed):
-    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}")))
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":pack:{seed}")))
     w = (
         Window.orderBy(h.alias("_h"), "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -125,3 +125,28 @@ def test_write_packed_shards_roundtrip(spark, tmp_path):
     )
     got = sorted((r["doc_id"], r["start_offset"]) for r in back.collect())
     assert got == want
+
+
+def test_split_independent_of_sample_and_pack_draws(spark):
+    """Domain separation: the seeded draws (sample / pack / split)
+    must be statistically independent at equal seeds — with a shared
+    hash key, a default-seed sample landed ENTIRELY inside the val
+    split (the lowest hashes are both 'sampled first' and 'below the
+    val cut') and packed first in the stream."""
+    from acxspark.operators.packing import (pack_token_budget,
+                                            train_val_split)
+    from acxspark.operators.sampling import stratified_sample_exact
+
+    df = spark.createDataFrame(
+        [(i, "all", 100) for i in range(5000)], ["doc_id", "s", "tok"]
+    )
+    sampled = stratified_sample_exact(df, "s", "doc_id", 500, seed=42)
+    split = train_val_split(sampled, "doc_id", val_pct=10, seed=42)
+    n_val = split.filter(F.col("split") == "val").count()
+    # independent ⇒ ~50 of 500; shared-key ⇒ all 500. Loose band.
+    assert 15 <= n_val <= 120, n_val
+    packed = pack_token_budget(split, "tok", "doc_id", budget=100, seed=42)
+    # val docs must NOT concentrate at the head of the packed stream
+    head = packed.orderBy("start_offset").limit(50)
+    n_val_head = head.filter(F.col("split") == "val").count()
+    assert n_val_head <= 25, n_val_head

@@ -7,7 +7,7 @@ from acxspark.operators.sampling import stratified_sample_exact
 
 
 def _single_window_draw(df, strata, idc, n, seed):
-    h = F.md5(F.concat(F.col(idc).cast("string"), F.lit(f":{seed}")))
+    h = F.md5(F.concat(F.col(idc).cast("string"), F.lit(f":sample:{seed}")))
     w = Window.partitionBy(strata).orderBy(h.alias("_h"), idc)
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -55,7 +55,7 @@ def test_quota_tournament_equals_single_window(spark):
     quotas = spark.createDataFrame(
         [("en", 9), ("de", 4), ("fr", 2), ("xx", 1)], ["lang", "quota"]
     )
-    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":5")))
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":quota:5")))
     w = Window.partitionBy("lang").orderBy(h.alias("_h"), "doc_id")
     want = sorted(
         map(

@@ -223,3 +223,25 @@ def test_max_cell_rows_caps_and_is_subset(spark, clustered):
         ).collect()
     }
     assert uncapped_hi == full
+
+
+def test_collapse_exact_keeps_zero_vector_floods(spark):
+    """Degenerate (zero-norm) embeddings have undefined cosine and the
+    pair paths emit no edges among them — the exact-collapse shortcut
+    must not dedupe them either ('identical ⇒ cosine 1' only holds
+    for nonzero vectors). collapse on/off must agree."""
+    rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 0.0]),
+            (4, [1.0, 0.0]), (5, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    want = None
+    for collapse in (True, False):
+        got = sorted(
+            (r["vec_id"], r["is_survivor"])
+            for r in semantic_dedup(df, threshold=0.9,
+                                    collapse_exact=collapse).collect()
+        )
+        if want is None:
+            want = got
+        assert got == want
+    # the zero-vector flood all survives; the identical REAL pair dedupes
+    assert dict(want) == {1: 1, 2: 1, 3: 1, 4: 1, 5: 0}
