@@ -137,22 +137,44 @@ def decrypt_file_aes256gcm(in_path: str, out_path: str,
 # ------------------------------------------------ distributed column path
 
 
-def _derive_nonce(key_fp: bytes, row_id: str) -> bytes:
-    return hashlib.sha256(key_fp + row_id.encode("utf-8")).digest()[:12]
+def _derive_nonce(key_fp: bytes, context: str, row_id: str) -> bytes:
+    # length-prefixed context: ("ab","c") and ("a","bc") must never
+    # collapse to the same nonce input
+    ctx = context.encode("utf-8")
+    return hashlib.sha256(
+        key_fp + len(ctx).to_bytes(4, "big") + ctx + row_id.encode("utf-8")
+    ).digest()[:12]
 
 
-def encrypt_col(value_col, id_col, key_hex: str) -> Column:
-    """binary AESGCM(value) with a per-row id-derived nonce.
+def encrypt_col(value_col, id_col, key_hex: str,
+                context: str | None = None) -> Column:
+    """binary AESGCM(value) with a per-row (context, id)-derived nonce.
 
-    Arrow-batched; the nonce is sha256(key_fingerprint || id)[:12], so
-    (a) no two DISTINCT ids ever share a nonce under one key — the GCM
-    safety requirement — and (b) the ciphertext is a pure function of
-    (key, id, value): re-runs and different cluster sizes produce
-    byte-identical output (the determinism invariant; also what makes
-    the roundtrip oracle-checkable). Callers must pass a UNIQUE id
-    column — reusing ids for different values would reuse a nonce."""
+    Arrow-batched; the nonce is sha256(key_fingerprint || context ||
+    id)[:12], so (a) no two DISTINCT (context, id) pairs ever share a
+    nonce under one key — the GCM safety requirement — and (b) the
+    ciphertext is a pure function of (key, context, id, value):
+    re-runs and different cluster sizes produce byte-identical output
+    (the determinism invariant; also what makes the roundtrip
+    oracle-checkable).
+
+    ``context`` defaults to the value column's NAME: without it,
+    encrypting TWO columns of one table with the same key and id
+    column reused every row's nonce for two different plaintexts —
+    GCM keystream reuse, which leaks the plaintext XOR. Pass it
+    explicitly when ``value_col`` is an expression. Callers must pass
+    a UNIQUE id column — reusing ids for different values within one
+    context would still reuse a nonce."""
     key = _key_from_hex(key_hex)
     key_fp = hashlib.sha256(key).digest()
+    if context is None:
+        if not isinstance(value_col, str):
+            raise ValueError(
+                "encrypt_col: pass context= when value_col is an "
+                "expression (the nonce must be domain-separated per "
+                "encrypted column)"
+            )
+        context = value_col
 
     @pandas_udf(T.BinaryType())
     def _enc(vals: pd.Series, ids: pd.Series) -> pd.Series:
@@ -162,7 +184,7 @@ def encrypt_col(value_col, id_col, key_hex: str) -> Column:
             if v is None or i is None:
                 out.append(None)
                 continue
-            nonce = _derive_nonce(key_fp, str(i))
+            nonce = _derive_nonce(key_fp, context, str(i))
             out.append(nonce + gcm.encrypt(nonce, str(v).encode("utf-8"), None))
         return pd.Series(out)
 

@@ -72,14 +72,22 @@ def _file_digests(spark: SparkSession, d: Path) -> list[dict]:
         )
         .collect()
     )
-    # Hadoop URIs vary in slash count ("file:/x" vs "file:///x"), so
-    # relativize on the directory-name marker, not on a URI prefix —
-    # the manifest must be location-independent (sign happens in the
-    # tmp dir, verify after the atomic rename).
-    marker = "/" + d.name + "/"
+    # Hadoop URIs vary in slash count ("file:/x" vs "file:///x"):
+    # parse the URI to a filesystem path and relativize against the
+    # RESOLVED directory — the manifest must be location-independent
+    # (sign happens in the tmp dir, verify after the atomic rename).
+    # (A first-substring-match on "/<dirname>/" was wrong whenever the
+    # enclosing path itself contained that segment — e.g. any backup
+    # under a "/data/..." root split at the wrong place and every
+    # verify failed.)
+    from pathlib import PurePosixPath
+    from urllib.parse import unquote, urlparse
+
+    base = PurePosixPath(str(Path(d).resolve()))
     out = []
     for r in rows:
-        rel = r["path"].split(marker, 1)[-1]
+        p = PurePosixPath(unquote(urlparse(r["path"]).path))
+        rel = str(p.relative_to(base))
         out.append({"path": rel, "size": int(r["size"]), "sha256": r["sha256"]})
     return sorted(out, key=lambda e: e["path"])
 

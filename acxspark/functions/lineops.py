@@ -83,6 +83,19 @@ def dump_sorted_compact(obj) -> str:
                       ensure_ascii=False)
 
 
+def _reject_constant(s: str):
+    # python's json accepts the non-JSON extensions NaN/Infinity; the
+    # reference's J::parse does not — such lines must take the
+    # verbatim-passthrough branch, not be rewritten into invalid JSON
+    raise ValueError(f"non-JSON constant {s}")
+
+
+def strict_json_loads(line: str):
+    """json.loads restricted to actual JSON (NaN/Infinity rejected),
+    matching the reference parser's acceptance set."""
+    return json.loads(line, parse_constant=_reject_constant)
+
+
 def normalize_line(line: str) -> str:
     """One line of the reference normalize loop (src/cli.cpp:377-396).
 
@@ -93,7 +106,7 @@ def normalize_line(line: str) -> str:
     if line == "":
         return line
     try:
-        j = json.loads(line)
+        j = strict_json_loads(line)
     except ValueError:
         return line
     if not isinstance(j, dict):
@@ -116,7 +129,7 @@ def redact_line(line: str) -> str:
     anything else verbatim. (Empty-line SKIPPING is the caller's job —
     the reference ``continue``s before this point.)"""
     try:
-        j = json.loads(line)
+        j = strict_json_loads(line)
     except ValueError:
         return line
     if not isinstance(j, dict):

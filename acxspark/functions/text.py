@@ -30,19 +30,17 @@ LANG_STOPWORDS = {
 
 
 def _word_count(col: Column, word: str) -> Column:
-    """Occurrences of ``word`` as a whitespace-delimited token.
+    """Occurrences of ``word`` as a whitespace-delimited token — exact
+    token-equality count over the split (DuckDB twin:
+    queries._wc_sql, generated in lockstep).
 
-    Implemented as size(split(x, pat)) - 1 with a word-boundary-free
-    padded-contains trick so DuckDB can replicate it exactly:
-    count = (len(padded) - len(replace(padded, ' w ', '  '))) where
-    padded = ' '||x||' ' — each hit removes len(w) chars.
-    """
-    padded = F.concat(F.lit(" "), col, F.lit(" "))
-    needle = f" {word} "
-    # overlapping ' a b a ' cases: replace(' w ',' ') consumes the
-    # trailing space; pad replacement with one space to keep separators.
-    replaced = F.replace(padded, F.lit(needle), F.lit(" "))
-    return (F.length(padded) - F.length(replaced)) / (len(needle) - 1)
+    Split+filter, NOT the earlier padded-replace trick: a
+    non-overlapping replace of ``' w '`` consumes the shared delimiter
+    of ADJACENT repeats, so ``'the the the'`` counted 2 instead of 3
+    (off in every consumer — lang scores, stopword ratios, the Gopher
+    stop-word rule near its threshold)."""
+    toks = F.split(col, r"\s+")
+    return F.size(F.filter(toks, lambda t: t == F.lit(word))).cast("double")
 
 
 def lang_scores(col) -> dict[str, Column]:

@@ -66,30 +66,29 @@ def read_jsonl(
     ``keep_corrupt=True`` = the dedupe-cmd behavior (unparseable lines
     pass through in ``_corrupt_record``, src/cli.cpp:303-304);
     ``False`` = the import behavior (dropped). Oversized lines are
-    dropped either way (the 1 MiB guard, src/storage.cpp:516)."""
+    dropped either way (the 1 MiB guard, src/storage.cpp:516).
+
+    Implemented as a text scan + ``from_json``, not ``read.json``: the
+    byte cap must measure the RAW LINE (a parsed line can be oversized
+    through fields outside the schema, which a re-serialized-struct
+    proxy never sees), and line-based parsing also matches the
+    reference's one-line-one-record loop where the json reader would
+    explode a top-level array line into several rows."""
     full = T.StructType(
         list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
     )
-    df = spark.read.schema(full).option("mode", "PERMISSIVE").option(
-        "columnNameOfCorruptRecord", "_corrupt_record"
-    ).json(path)
+    lines = spark.read.text(path).filter(F.col("value") != "")
     if max_record_bytes is not None:
-        # raw-line cap (reference src/storage.cpp:516). For corrupt
-        # records the raw line IS _corrupt_record — measure that; for
-        # parsed records the re-serialized struct is a faithful proxy
-        # for the line length. (Measuring only the struct was a bug:
-        # corrupt rows serialize to '{}' and oversized malformed lines
-        # always passed.) octet_length, not length: the reference caps
-        # raw BYTES, and multi-byte UTF-8 would otherwise pass at up to
-        # 4x the cap.
-        df = df.filter(
-            F.coalesce(
-                F.octet_length("_corrupt_record"),
-                F.octet_length(F.to_json(F.struct(*schema.fieldNames()))),
-                F.lit(0),
-            )
-            <= max_record_bytes
-        )
+        # octet_length, not length: the reference caps raw BYTES, and
+        # multi-byte UTF-8 would otherwise pass at up to 4x the cap
+        lines = lines.filter(F.octet_length("value") <= max_record_bytes)
+    df = lines.select(
+        F.from_json(
+            F.col("value"), full,
+            {"mode": "PERMISSIVE",
+             "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("_r")
+    ).select("_r.*")
     if not keep_corrupt:
         df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     return df
@@ -108,13 +107,21 @@ def read_csv(
     failfast: bool = True,
 ) -> DataFrame:
     """RFC 4180 scan: quoted fields, '""' escape; ragged rows error
-    under FAILFAST (src/csv.cpp:7-41 errors on bad rows)."""
+    under FAILFAST (src/csv.cpp:7-41 errors on bad rows).
+
+    ``multiLine``: RFC 4180 allows raw newlines inside quoted fields
+    (the reference's in_quotes loop and write_csv_sorted both support
+    them) — without the option Spark splits records on every physical
+    newline and a multi-line note corrupts the scan. Cost: multiLine
+    files aren't split across tasks; acceptable for an
+    import/export-parity surface (the reference parser is serial)."""
     df = (
         spark.read.schema(schema)
         .option("header", True)
         .option("sep", sep)
         .option("quote", '"')
         .option("escape", '"')
+        .option("multiLine", True)
         .option("mode", "FAILFAST" if failfast else "PERMISSIVE")
         .csv(path)
     )
@@ -248,7 +255,12 @@ def write_bucketed_by_key(
             "key_bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
         )
         .repartition("key_bucket")
-        .sortWithinPartitions(key_col)
+        # key_bucket must LEAD the sort: the dynamic-partition writer
+        # requires ordering by the partition column and would insert
+        # its own key_bucket-only sort above a bare key sort — whose
+        # stability (and thus the within-bucket key order the
+        # row-group pruning depends on) is not guaranteed on spill
+        .sortWithinPartitions("key_bucket", key_col)
         .write.mode("overwrite")
         .partitionBy("key_bucket")
         .parquet(path)

@@ -24,7 +24,11 @@ class Lineage:
     def __init__(self, path: str | Path | None = None, config_fingerprint: str = ""):
         self.path = Path(path) if path else None
         self.fp = config_fingerprint
-        self.observations: dict[str, Observation] = {}
+        # a LIST, not a dict keyed by stage: the same stage name may be
+        # observed twice (two pipeline runs sharing one Lineage — the
+        # idempotence check), and a dict silently dropped the first
+        # run's metrics at flush
+        self.observations: list[tuple[str, Observation]] = []
         self.records: list[dict] = []
 
     def record(self, stage: str, **vals) -> None:
@@ -42,20 +46,42 @@ class Lineage:
         # pipeline runs composed into one plan (e.g. idempotence check)
         # would otherwise collide.
         obs = Observation(f"{stage}-{uuid.uuid4().hex[:8]}")
-        self.observations[stage] = obs
+        self.observations.append((stage, obs))
         return df.observe(obs, *[v.alias(k) for k, v in aggs.items()])
 
-    def flush(self) -> list[dict]:
+    @staticmethod
+    def _get_fired(obs: Observation, timeout: float):
+        """``obs.get`` bounded by ``timeout`` — PySpark's Observation.get
+        BLOCKS FOREVER when the observed stage never executed (the JVM
+        side waits Duration.Inf), so a plan branch that was skipped by
+        config or an early return would hang flush() indefinitely. The
+        probe runs in a daemon thread; on timeout the metric is
+        reported absent (the thread parks harmlessly until exit)."""
+        import threading
+
+        box: dict = {}
+
+        def _probe():
+            try:
+                box["v"] = obs.get
+            except Exception:  # noqa: BLE001 — absent either way
+                pass
+
+        t = threading.Thread(target=_probe, daemon=True)
+        t.start()
+        t.join(timeout)
+        return box.get("v")
+
+    def flush(self, timeout: float = 10.0) -> list[dict]:
         """Collect all fired observations + eager records, append to the log."""
         out = []
         for rec in self.records:
             out.append({**rec, "config": self.fp, "ts": time.time()})
         self.records = []
-        for stage, obs in self.observations.items():
-            try:
-                vals = obs.get
-            except Exception:
-                continue  # stage never executed
+        for stage, obs in self.observations:
+            vals = self._get_fired(obs, timeout)
+            if vals is None:
+                continue  # stage never executed (or probe timed out)
             rec = {"stage": stage, "config": self.fp, "ts": time.time(), **vals}
             out.append(rec)
         if self.path and out:

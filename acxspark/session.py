@@ -24,8 +24,18 @@ def package_zip() -> str:
     any pandas UDF that closes over acxspark code needs the package on
     the executors' search path.
     """
+    import os
+    import uuid
+
     pkg_dir = Path(__file__).resolve().parent
-    out = Path(tempfile.gettempdir()) / "acxspark_pkg.zip"
+    # unique per call: a fixed shared path raced between concurrent
+    # drivers on one host (one truncates while the other's executors
+    # fetch → corrupt zip), hit EACCES across users, and re-adding the
+    # same filename with changed contents trips addPyFile's
+    # contents-mismatch check
+    out = Path(tempfile.gettempdir()) / (
+        f"acxspark_pkg_{os.getpid()}_{uuid.uuid4().hex[:8]}.zip"
+    )
     with zipfile.ZipFile(out, "w") as zf:
         for py in sorted(pkg_dir.rglob("*.py")):
             zf.write(py, Path("acxspark") / py.relative_to(pkg_dir))

@@ -57,7 +57,9 @@ def reference_dedupe(lines: list[str], key: str = "email") -> list[str]:
         if not line:
             continue
         try:
-            j = json.loads(line)
+            def _bad(c):  # J::parse rejects NaN/Infinity
+                raise ValueError(c)
+            j = json.loads(line, parse_constant=_bad)
             v = j.get(key) if isinstance(j, dict) else None
             k = v if isinstance(v, str) else line
             if k not in seen:
@@ -189,13 +191,18 @@ def reference_normalize(lines: list[str]) -> list[str]:
                 o += c
         return o
 
+    def strict(line):  # J::parse rejects NaN/Infinity
+        def bad(c):
+            raise ValueError(c)
+        return json.loads(line, parse_constant=bad)
+
     out = []
     for line in lines:
         if line == "":
             out.append(line)
             continue
         try:
-            j = json.loads(line)
+            j = strict(line)
         except ValueError:
             out.append(line)
             continue
@@ -226,12 +233,17 @@ def reference_redact(lines: list[str]) -> list[str]:
     def mask_phone(s):
         return "".join("*" if c.isdigit() and c.isascii() else c for c in s)
 
+    def strict(line):  # J::parse rejects NaN/Infinity
+        def bad(c):
+            raise ValueError(c)
+        return json.loads(line, parse_constant=bad)
+
     out = []
     for line in lines:
         if line == "":
             continue
         try:
-            j = json.loads(line)
+            j = strict(line)
         except ValueError:
             out.append(line)
             continue
@@ -255,6 +267,7 @@ NORM_EDGE_LINES = [
     "",                                           # normalize keeps, redact skips
     '[1,2,3]',                                    # non-object → verbatim
     '"bare string"',
+    '{"name":" pad ","x":NaN}',          # non-JSON constant → verbatim
     json.dumps({"email": "x@y.z", "phone": "1+2+3 ext 9"}),
     json.dumps({"email": "ab@d.com", "phone": "+  42"}),
     json.dumps({"email": "a@b", "name": "Zoë  "}),

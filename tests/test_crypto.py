@@ -181,3 +181,40 @@ def test_file_sign_verify_parity(tmp_path, monkeypatch):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no HMAC key"):
         B.sign_file(f)
+
+
+def test_encrypt_col_nonces_differ_across_columns(spark):
+    """GCM nonce reuse across columns would leak the plaintext XOR:
+    the nonce is domain-separated by the encrypted column's name, so
+    two columns of one table under one key never share a nonce."""
+    from acxspark.functions.aescrypt import encrypt_col, random_key_hex
+
+    key = random_key_hex()
+    df = spark.createDataFrame([("r1", "alice@x.com", "555-0001")],
+                               ["id", "email", "phone"])
+    row = df.select(
+        encrypt_col("email", "id", key).alias("e"),
+        encrypt_col("phone", "id", key).alias("p"),
+    ).first()
+    assert bytes(row["e"][:12]) != bytes(row["p"][:12])
+    # expression value column without explicit context must refuse
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="context"):
+        encrypt_col(F.upper(F.col("email")), "id", key)
+
+
+def test_backup_path_containing_data_segment(spark, tmp_path):
+    """Manifests must relativize against the resolved backup dir, not
+    the first '/<dirname>/' substring — a backup rooted under a
+    '/data/...' path used to fail verification always."""
+    from acxspark.catalog import ParquetSnapshotCatalog
+    from acxspark.functions.backup import sign_backup, verify_backup
+
+    root = tmp_path / "data" / "backups"   # 'data' segment in the path
+    cat = ParquetSnapshotCatalog(tmp_path / "cat")
+    cat.write("t", spark.range(5))
+    bak = sign_backup(spark, cat, "t", root, key=b"test-key")
+    v = verify_backup(spark, bak, key=b"test-key")
+    assert v["ok"], v

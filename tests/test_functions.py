@@ -152,3 +152,18 @@ def test_mask_name(spark):
         "x",
         "2f***",
     ]
+
+
+def test_word_count_adjacent_repeats(spark):
+    """Token-equality counting: adjacent repeated stopwords must each
+    count (the padded-replace trick consumed the shared delimiter and
+    undercounted 'the the the' as 2)."""
+    from acxspark.functions.text import _word_count
+
+    df = spark.createDataFrame(
+        [("the the the",), ("the cat the",), ("",), ("theater the",)],
+        ["t"],
+    )
+    got = [r["c"] for r in df.select(_word_count(F.col("t"), "the")
+                                     .alias("c")).collect()]
+    assert got == [3.0, 2.0, 0.0, 1.0]

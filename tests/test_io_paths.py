@@ -175,3 +175,35 @@ def test_bucketed_layout_point_lookup_prunes_partitions(spark, tmp_path):
     assert m and "key_bucket" in m.group(1), plan
     # the folded literal bucket appears (no runtime xxhash64 in the filter)
     assert "xxhash64" not in m.group(1)
+
+
+def test_jsonl_byte_cap_measures_raw_line(spark, tmp_path):
+    """The 1 MiB guard must act on the RAW line (storage.cpp:516): a
+    line that parses fine but is oversized through fields OUTSIDE the
+    contact schema must still be dropped."""
+    import json as _json
+
+    from acxspark.io_paths import read_jsonl
+
+    ok = _json.dumps({"id": "1", "name": "A", "email": "a@x.com"})
+    fat = _json.dumps({"id": "2", "name": "B", "email": "b@x.com",
+                       "blob": "x" * (2 << 20)})   # parses; 2 MiB raw
+    p = tmp_path / "in.jsonl"
+    p.write_text(ok + "\n" + fat + "\n")
+    got = {r["id"] for r in read_jsonl(spark, str(p)).collect()}
+    assert got == {"1"}
+
+
+def test_csv_multiline_quoted_field_roundtrip(spark, tmp_path):
+    """RFC 4180 quoted fields may contain raw newlines — the writer
+    emits them and the reader must reassemble the record instead of
+    splitting it at the physical newline (reference in_quotes loop)."""
+    from acxspark.io_paths import CONTACT_COLUMNS, read_csv, write_csv_sorted
+
+    rows = [("1", "Ada", "a@x.com", "555", "line1\nline2", "2026-01-01")]
+    df = spark.createDataFrame(rows, CONTACT_COLUMNS)
+    out = str(tmp_path / "csv")
+    write_csv_sorted(df, out)
+    back = read_csv(spark, out)
+    assert back.count() == 1
+    assert back.first()["note"] == "line1\nline2"
