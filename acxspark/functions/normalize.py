@@ -73,5 +73,18 @@ def canonical_text(col) -> Column:
 
 
 def tokens(col) -> Column:
-    """Whitespace tokenization of canonical text → array<string>."""
+    """Whitespace tokenization of canonical text → array<string>.
+    NOTE: an empty/whitespace-only doc yields ``['']`` (split's
+    behavior); counting consumers want :func:`tokens_nonempty`."""
     return F.split(canonical_text(col), " ")
+
+
+def tokens_nonempty(col) -> Column:
+    """Whitespace tokens of canonical text with empty strings removed
+    — an empty/whitespace-only doc yields ``[]``. THE shared
+    tokenizer for every token-counting operator (chunking, LM
+    filters, decontamination); one definition, not per-module copies
+    that must stay in sync by hand. (ngram.py keeps the raw
+    :func:`tokens` deliberately: its gram construction and DuckDB
+    twin both encode the ``['']`` empty-doc behavior.)"""
+    return F.filter(tokens(col), lambda x: x != F.lit(""))

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from acxspark.functions.normalize import canonical_text
+from acxspark.functions.normalize import canonical_text, tokens_nonempty
 
 __all__ = ["chunk_documents"]
 
@@ -50,10 +50,7 @@ def chunk_documents(
         raise ValueError("require 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
 
-    toks = F.filter(
-        F.split(canonical_text(F.col(text_col)), " "),
-        lambda x: x != F.lit(""),
-    )
+    toks = tokens_nonempty(F.col(text_col))
     n = F.size(toks)
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
         F.greatest(

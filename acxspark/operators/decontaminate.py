@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from acxspark.functions.normalize import canonical_text
+from acxspark.functions.normalize import canonical_text, tokens_nonempty
 from acxspark.functions.repetition import gram_hashes
 
 
@@ -32,7 +32,7 @@ def token_ngrams(text_col: Column, n: int) -> Column:
     Documents shorter than n tokens yield an empty array. This is the
     EXACT (string) path; the hashed hot path below never builds these
     strings."""
-    toks = F.filter(F.split(canonical_text(text_col), " "), lambda x: x != "")
+    toks = tokens_nonempty(text_col)
     count = F.size(toks) - F.lit(n - 1)
     return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -48,7 +48,7 @@ def token_ngram_hashes(text_col: Column, n: int) -> Column:
     shifted token slices, functions/repetition.py) so NO gram string
     is ever allocated; measured ~15x cheaper than hashing the
     concat_ws strings on a 40k-doc corpus."""
-    toks = F.filter(F.split(canonical_text(text_col), " "), lambda x: x != "")
+    toks = tokens_nonempty(text_col)
     return gram_hashes(toks, n)
 
 

@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 
 def line_dedup(docs: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text", sep: str = "\n") -> DataFrame:
+               text_col: str = "text", sep: str = "\n",
+               hot_min: int = 1024, hot_cap: int = 65536) -> DataFrame:
     """(id, clean_text, n_lines, n_kept): corpus-wide first-occurrence
     line dedup, order (id, pos) — deterministic for any orderable id.
 
@@ -45,23 +46,50 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), F.lit(quoted))).alias("pos", "line"),
     )
-    firsts = (
-        lines.filter(F.col("line") != "")
-        .groupBy("line")
-        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"))
+    nonempty = lines.filter(F.col("line") != "")
+    stats = (
+        nonempty.groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
+             F.count("*").alias("_n"))
         .select(
             "line",
             F.col(f"first.{id_col}").alias("_fid"),
             F.col("first.pos").alias("_fpos"),
+            "_n",
         )
     )
-    kept = (
-        lines.join(firsts, "line", "left")
-        .filter(
-            (F.col("line") == "")
-            | ((F.col(id_col) == F.col("_fid")) & (F.col("pos") == F.col("_fpos")))
-        )
+    # hot/cold verdict split: the first-occurrence agg above is
+    # combiner-friendly, but the join-BACK on the raw line key routes
+    # every copy of a hot line (a 10^6-occurrence cookie banner) to one
+    # reducer. The hottest lines' verdicts are tiny (one row per
+    # DISTINCT hot line) — broadcast the top ``hot_cap`` of them so
+    # their copies resolve map-side, and the shuffle join handles only
+    # keys whose volume is bounded by the hot threshold (AQE skew-join
+    # remains the second line of defense for corpora with more than
+    # ``hot_cap`` distinct hot lines).
+    hot = F.broadcast(
+        stats.filter(F.col("_n") > hot_min)
+        .orderBy(F.desc("_n"), "line")
+        .limit(hot_cap)
+        .drop("_n")
+    )
+    cold_firsts = stats.join(hot.select("line"), "line", "left_anti").drop("_n")
+    keep_first = (F.col(id_col) == F.col("_fid")) & (F.col("pos") == F.col("_fpos"))
+    kept_hot = (
+        nonempty.join(hot, "line")          # map-side (broadcast)
+        .filter(keep_first)
         .select(id_col, "pos", "line")
+    )
+    kept_cold = (
+        nonempty.join(hot.select("line"), "line", "left_anti")  # map-side
+        .join(cold_firsts, "line", "left")
+        .filter(keep_first)
+        .select(id_col, "pos", "line")
+    )
+    kept = (
+        lines.filter(F.col("line") == "").select(id_col, "pos", "line")
+        .unionByName(kept_hot)
+        .unionByName(kept_cold)
     )
     totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
     return (

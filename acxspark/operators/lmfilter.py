@@ -34,15 +34,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from acxspark.functions.normalize import canonical_text
+from acxspark.functions.normalize import canonical_text, tokens_nonempty
 
 __all__ = ["train_unigram_lm", "score_unigram_nll", "dsir_log_weights"]
 
 
 def _toks(text_col) -> "F.Column":
-    return F.filter(
-        F.split(canonical_text(text_col), " "), lambda x: x != F.lit("")
-    )
+    return tokens_nonempty(text_col)
 
 
 def train_unigram_lm(

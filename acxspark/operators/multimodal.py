@@ -234,8 +234,11 @@ def decode_media_meta(
     src/cli.cpp:303-304, at media granularity). Oversized payloads are
     dropped JVM-side before Arrow ever sees them.
     """
+    # coalesce: length(NULL) is NULL and a bare <= filter would DROP
+    # null-payload rows, while the contract below gives them a
+    # decode_error row instead
     slim = df.select(F.col(id_col), F.col(kind_col), F.col(payload_col)).filter(
-        F.length(F.col(payload_col)) <= max_payload_bytes
+        F.coalesce(F.length(F.col(payload_col)), F.lit(0)) <= max_payload_bytes
     )
     out_schema = T.StructType(
         [
@@ -261,7 +264,10 @@ def decode_media_meta(
                 else:
                     try:
                         meta = _real_decode(bytes(p), kind)
-                    except (NotImplementedError, ValueError) as e:
+                    except (NotImplementedError, ValueError,
+                            _struct.error) as e:
+                        # struct.error: a truncated RIFF/fmt chunk
+                        # fails mid-unpack — poison, not fatal
                         err = str(e)
                 meta = meta or {}
                 rows["mime"].append(meta.get("mime"))
@@ -286,9 +292,22 @@ def extract_features(
     """(id, features: array<double>) via mapInPandas over payload bytes.
 
     Oversized payloads are dropped JVM-side first (the reference's
-    record-size guard, src/storage.cpp:516, at media granularity)."""
+    record-size guard, src/storage.cpp:516, at media granularity);
+    null payloads yield NULL features (kept, not dropped).
+
+    ``decode_stub=False`` raises HERE, at plan-build time: the real
+    embedding model is a deploy-time swap (the image/audio libraries
+    are absent in this environment — see _real_decode's swap point),
+    and the old behavior deferred the NotImplementedError to the
+    first executor batch."""
+    if not decode_stub:
+        raise NotImplementedError(
+            "extract_features(decode_stub=False) needs a real feature "
+            "extractor wired at the _real_decode swap point "
+            "(deploy-time dependency; stub path is the tested contract)"
+        )
     slim = df.select(F.col(id_col), F.col(payload_col)).filter(
-        F.length(F.col(payload_col)) <= max_payload_bytes
+        F.coalesce(F.length(F.col(payload_col)), F.lit(0)) <= max_payload_bytes
     )
     out_schema = T.StructType(
         [
@@ -300,7 +319,7 @@ def extract_features(
     def gen(batches):
         for b in batches:
             feats = [
-                _stub_features(p, dim) if decode_stub else _real_decode(p, "any")
+                None if p is None else _stub_features(bytes(p), dim)
                 for p in b[payload_col]
             ]
             yield pd.DataFrame({id_col: b[id_col], "features": feats})
@@ -441,6 +460,12 @@ def image_ahash(
         ]
     )
     g2 = grid * grid
+    if g2 > 64:
+        # the packed hash is ONE LongType: numpy shifts >= 64 wrap mod
+        # 64 on x86, silently aliasing high bits onto low ones — a
+        # corrupt "hash" that still looks valid
+        raise ValueError(f"grid {grid}: {g2} bits exceed the 64-bit "
+                         "ahash (grid must be <= 8)")
 
     def one(p) -> int | None:
         try:
@@ -486,6 +511,7 @@ def audio_energy_hash(
     buckets: int = 64,
 ) -> DataFrame:
     """Acoustic fingerprint of PCM-16 WAV payloads → (id, ehash:long).
+    ``buckets`` must be <= 64 (one bit per window in one LongType).
 
     The audio near-duplicate key (energy-profile hash, the public
     chromaprint-family recipe reduced to its integer core): parse the
@@ -500,6 +526,11 @@ def audio_energy_hash(
     """
     import numpy as np
     import pandas as pd
+
+    if buckets > 64 or buckets < 1:
+        # one bit per window in one LongType; numpy shifts >= 64 wrap
+        # mod 64 and would silently alias bits
+        raise ValueError(f"buckets {buckets} must be in [1, 64]")
 
     out_schema = T.StructType(
         [

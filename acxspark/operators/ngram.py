@@ -61,14 +61,16 @@ def ngram_jaccard_pairs(
     # persisted: the exploded gram rows feed the doc-freq cut, the
     # per-doc sizes, and both self-join sides — without the cache the
     # gram scan (the expensive text pass) runs up to four times
-    g = df.select(
+    from acxspark.operators.lsh import track_cache
+
+    g = track_cache(df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(
                 F.transform(ngrams(F.col(text_col), n), lambda s: F.xxhash64(s))
             )
         ).alias("gram"),
-    ).persist()
+    ).persist(), None)  # released via lsh.release_band_caches()
     if max_doc_freq is not None:
         hot = (
             g.groupBy("gram")

@@ -82,6 +82,40 @@ def fold_batch(batch_df: DataFrame, batch_id: int, catalog,
                 f"batch_id {batch_id} predates committed "
                 f"ingest_batch_id {last}: catalog/checkpoint mismatch"
             )
+        # side-output recovery: the catalog commit stamps the ledger
+        # BEFORE the per-batch out_dir write, so a crash between them
+        # replays into this skip path with the batch's parquet missing
+        # forever. The assignments are recoverable — the committed
+        # clusters snapshot holds every replayed url's label — so
+        # rebuild the batch dir from it. (Per-batch LINEAGE counters
+        # are observe()-time artifacts and are NOT recoverable here;
+        # lineage is best-effort observability, the ledger + snapshots
+        # are the durable state.)
+        if out_dir is not None:
+            spark_ = batch_df.sparkSession
+            bdir = Path(out_dir) / f"batch-{batch_id}"
+            want = batch_df.select("url").distinct()
+            complete = False
+            if bdir.exists():
+                try:
+                    have = spark_.read.parquet(str(bdir))
+                    # a split-path crash can leave SOME sub=j dirs:
+                    # completeness, not existence, is the test
+                    complete = (
+                        want.join(have.select("url"), "url", "left_anti")
+                        .limit(1).count() == 0
+                    )
+                except Exception:  # unreadable partial dir
+                    complete = False
+            if not complete:
+                (
+                    catalog.read(spark_, "clusters")
+                    .join(want, "url", "left_semi")
+                    .write.mode("overwrite")
+                    .parquet(str(bdir))
+                )
+                return {"batch_id": batch_id,
+                        "action": "skipped_replay_outdir_recovered"}
         return {"batch_id": batch_id, "action": "skipped_replay"}
     if batch_df.isEmpty():
         return {"batch_id": batch_id, "action": "empty"}

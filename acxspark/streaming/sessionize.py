@@ -7,11 +7,18 @@ expressed with built-in windowed aggs — session bounds depend on the
 data — so state rides GroupState per user_id:
 
 - state = (session_start_epoch, last_event_epoch, n_events, sum_value)
--每 micro-batch appends the user's new events; if the gap is exceeded
-  the closed session is emitted and state restarts;
+- each micro-batch appends the user's new events; if the gap is
+  exceeded the closed session is emitted and state restarts;
 - state times out (``GroupStateTimeout.EventTimeTimeout``) once the
   watermark passes last_event + gap, flushing the final session —
   bounded state, late data beyond the watermark dropped upstream.
+
+Allowed-late events (inside the watermark, behind the open session):
+in-gap ones merge and pull ``session_start`` back, matching the batch
+twin; events more than ``gap`` before the open session sessionize as
+their own chain and close at batch end. The one online approximation
+vs :func:`sessionize_batch`: straggler chains split across SEPARATE
+micro-batches close separately (append-mode output cannot retract).
 
 Scale notes: state is shuffled by user_id (uniform key), constant per
 user; the Arrow batch carries only that user's delta.
@@ -71,16 +78,41 @@ def make_sessionizer(gap_seconds: float):
                 s0, s1, n, sv = state.get
             else:
                 s0, s1, n, sv = None, None, 0, 0.0
+            # straggler chain: allowed-late events (inside the
+            # watermark) that predate the OPEN session by more than
+            # the gap belong to an EARLIER session — merging them (the
+            # old behavior) produced sessions the batch oracle splits,
+            # and even in-gap late events never pulled session_start
+            # back. Stragglers sessionize among themselves (events are
+            # sorted, and every straggler ends > gap before s0, so the
+            # chain can never bridge into the open session) and close
+            # at batch end. Residual online approximation, documented:
+            # a straggler chain cannot merge with stragglers arriving
+            # in LATER micro-batches.
+            st = None  # (st0, st1, stn, stv)
             for t, v in events:
                 if s0 is None:
                     s0, s1, n, sv = t, t, 1, float(v)
+                elif t < s0 - gap_seconds:
+                    if st is not None and t - st[1] <= gap_seconds:
+                        st = (st[0], max(st[1], t), st[2] + 1,
+                              st[3] + float(v))
+                    else:
+                        if st is not None:
+                            closed.append(st)
+                        st = (t, t, 1, float(v))
                 elif t - s1 > gap_seconds:
                     closed.append((s0, s1, n, sv))
                     s0, s1, n, sv = t, t, 1, float(v)
                 else:
+                    # in-gap late events must also extend the session
+                    # START (batch-oracle parity), not only the end
+                    s0 = min(s0, t)
                     s1 = max(s1, t)
                     n += 1
                     sv += float(v)
+            if st is not None:
+                closed.append(st)
             if s0 is not None:
                 state.update((float(s0), float(s1), int(n), float(sv)))
                 # flush once the watermark passes the session gap

@@ -267,3 +267,37 @@ def test_midsplit_crash_keeps_ledger_and_outdir_exactly_once(
     fold_batch(base, 0, cat_ref, cfg=cfg)
     fold_batch(delta, 1, cat_ref, cfg=cfg)
     assert _clusters(spark, cat) == _clusters(spark, cat_ref)
+
+
+def test_replay_recovers_missing_outdir(spark, tmp_path):
+    """The ledger stamp lands BEFORE the per-batch out_dir write, so a
+    crash between them replays into the skip path with the batch's
+    parquet missing forever — the skip path must rebuild it from the
+    committed clusters snapshot."""
+    import shutil
+
+    cfg = DedupConfig()
+    cat = ParquetSnapshotCatalog(tmp_path / "cat")
+    out_dir = str(tmp_path / "out")
+    fold_batch(spark.createDataFrame(INC0, SCHEMA), 0, cat, cfg=cfg,
+               out_dir=out_dir)
+    delta = spark.createDataFrame(INC1, SCHEMA)
+    fold_batch(delta, 1, cat, cfg=cfg, out_dir=out_dir)
+    want = {
+        r["url"]: r["cluster_id"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "batch-1"))
+        .collect()
+    }
+    # simulate the crash window: commit landed, out_dir write did not
+    shutil.rmtree(tmp_path / "out" / "batch-1")
+    s = fold_batch(delta, 1, cat, cfg=cfg, out_dir=out_dir)
+    assert s["action"] == "skipped_replay_outdir_recovered"
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "batch-1"))
+        .collect()
+    }
+    assert got == want
+    # intact dir → plain skip, contents untouched
+    s2 = fold_batch(delta, 1, cat, cfg=cfg, out_dir=out_dir)
+    assert s2["action"] == "skipped_replay"

@@ -256,3 +256,60 @@ def test_audio_energy_hash_near_dup_and_poison(spark):
     ham13 = bin((h[1] ^ h[3]) & (2**64 - 1)).count("1")
     assert ham12 <= 6 < ham13
     assert h[4] is None and h[5] is None
+
+
+def test_truncated_fmt_chunk_is_poison_not_fatal(spark):
+    """A RIFF payload whose fmt chunk claims 16 bytes but truncates
+    mid-unpack raises struct.error — poison row, never a dead stage."""
+    import struct
+
+    from acxspark.operators.multimodal import decode_media_meta
+
+    bad = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + b"\x01\x00")
+    df = spark.createDataFrame([("m1", "audio", bytearray(bad))],
+                               "media_id string, kind string, payload binary")
+    row = decode_media_meta(df).first()
+    assert row["decode_error"] is not None
+    assert row["mime"] is None
+
+
+def test_null_payload_gets_decode_error_row(spark):
+    """NULL payloads must surface as decode_error rows, not vanish in
+    the size pre-filter (length(NULL) is NULL)."""
+    from acxspark.operators.multimodal import decode_media_meta, extract_features
+
+    df = spark.createDataFrame(
+        [("m1", "audio", None)],
+        "media_id string, kind string, payload binary",
+    )
+    rows = decode_media_meta(df).collect()
+    assert len(rows) == 1 and rows[0]["decode_error"] == "null payload"
+    f = extract_features(df).collect()
+    assert len(f) == 1 and f[0]["features"] is None
+
+
+def test_hash_width_guards(spark):
+    """Packed 64-bit hashes must refuse configs whose bit count
+    overflows the word (numpy shifts >= 64 silently wrap)."""
+    import pytest as _pytest
+
+    from acxspark.operators.multimodal import audio_energy_hash, image_ahash
+
+    df = spark.createDataFrame([("m1", bytearray(b"x"))],
+                               "media_id string, payload binary")
+    with _pytest.raises(ValueError, match="grid"):
+        image_ahash(df, grid=16)
+    with _pytest.raises(ValueError, match="buckets"):
+        audio_energy_hash(df, buckets=128)
+
+
+def test_extract_features_real_decode_raises_early(spark):
+    import pytest as _pytest
+
+    from acxspark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame([("m1", bytearray(b"x"))],
+                               "media_id string, payload binary")
+    with _pytest.raises(NotImplementedError, match="swap point"):
+        extract_features(df, decode_stub=False)

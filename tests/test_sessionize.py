@@ -104,3 +104,77 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     for k, v in got.items():
         assert want[k] == v
     assert (1, "2025-01-01 10:00:00") in got  # the gap-closed session
+
+
+class _FakeState:
+    """Minimal GroupState double for unit-driving make_sessionizer."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.timeout = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+
+def _drive(fn, state, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime([r[0] for r in rows], unit="s"),
+         "value": [r[1] for r in rows]}
+    )
+    out = list(fn((7,), iter([pdf]), state))
+    closed = []
+    for o in out:
+        for r in o.itertuples(index=False):
+            closed.append((r.session_start.timestamp(),
+                           r.session_end.timestamp(),
+                           int(r.n_events), float(r.sum_value)))
+    return closed
+
+
+def test_late_in_gap_event_extends_session_start():
+    """An allowed-late event within the gap must pull session_start
+    BACK (batch-oracle parity) — the old merge only advanced the
+    end."""
+    from acxspark.streaming.sessionize import make_sessionizer
+
+    fn = make_sessionizer(1800)
+    st = _FakeState()
+    assert _drive(fn, st, [(10000.0, 1.0)]) == []
+    assert st.get[0] == 10000.0
+    # batch 2: 1000 s late, inside the gap → merges and start moves
+    assert _drive(fn, st, [(9000.0, 2.0)]) == []
+    s0, s1, n, sv = st.get
+    assert (s0, s1, n, sv) == (9000.0, 10000.0, 2, 3.0)
+
+
+def test_late_pre_gap_straggler_closes_as_own_session():
+    """Events more than gap BEFORE the open session belong to an
+    earlier session (the batch twin splits them); the old code merged
+    them into the open session."""
+    from acxspark.streaming.sessionize import make_sessionizer
+
+    fn = make_sessionizer(1800)
+    st = _FakeState()
+    _drive(fn, st, [(10000.0, 1.0)])
+    # two stragglers 3000+ s before the session, chained within gap
+    closed = _drive(fn, st, [(6000.0, 1.0), (6500.0, 1.0)])
+    assert closed == [(6000.0, 6500.0, 2, 2.0)]
+    assert st.get[0] == 10000.0          # open session untouched
