@@ -213,7 +213,7 @@ def test_incremental_bloom_gate_is_transparent(spark, tmp_path):
     assert got_b == got_p
     assert got_b["b1"] == "a1" and got_b["b2"] == "a3"
     # the two re-fetches were never signed; the other three were
-    assert lin_b.observations["incr_signed"].get["rows"] == 3
+    assert dict(lin_b.observations)["incr_signed"].get["rows"] == 3
     # and the snapshot stayed reps-only: no second row for a1/a3's shas
     sigs = cat_b.read(spark, "signatures")
     assert sigs.groupBy("text_sha").count().filter("count > 1").count() == 0

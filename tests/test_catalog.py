@@ -189,8 +189,9 @@ def test_resume_applies_span_dedup_tail(spark, tmp_path):
     assert resumed == fresh
     # the resumed run must have WIRED the span stage (its lineage
     # observation exists and fired on the collect above)
-    assert "span_dedup" in res2.lineage.observations
-    assert res2.lineage.observations["span_dedup"].get["rows"] == len(resumed)
+    obs = dict(res2.lineage.observations)  # list of (stage, Observation)
+    assert "span_dedup" in obs
+    assert obs["span_dedup"].get["rows"] == len(resumed)
     res2.release()
 
 

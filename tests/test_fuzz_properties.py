@@ -123,7 +123,7 @@ def _parses(line: str) -> bool:
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_packing_offsets_match_python_reference(spark, toks, seed):
     """Two-level distributed prefix sum == the sequential reference:
-    sort (md5(id:seed), id), cumulate token counts — for arbitrary
+    sort (md5(id:pack:seed), id), cumulate token counts — for arbitrary
     token-count multisets and seeds (batched Spark fuzz)."""
     import hashlib
 
@@ -136,7 +136,7 @@ def test_packing_offsets_match_python_reference(spark, toks, seed):
         for r in with_global_offsets(df, "tok", "doc_id", seed=seed).collect()
     }
     order = sorted(
-        rows, key=lambda r: (hashlib.md5(f"{r[0]}:{seed}".encode()).hexdigest(), r[0])
+        rows, key=lambda r: (hashlib.md5(f"{r[0]}:pack:{seed}".encode()).hexdigest(), r[0])
     )
     pos, want = 0, {}
     for i, t in order:
