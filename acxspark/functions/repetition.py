@@ -80,7 +80,13 @@ def _sorted_fold(grams_h: Column) -> Column:
 
 
 def _tokens(text: Column) -> Column:
-    return F.filter(F.split(text, " "), lambda x: x != "")
+    # whitespace CLASS, not a single literal space: the filter's
+    # domain is multi-line webtext, and splitting on ' ' alone merged
+    # tokens across newlines/tabs ('end.\\nThe'), computing the
+    # repetition stats over wrong word grams. Case is preserved (the
+    # gram identity stays Gopher's raw words); the DuckDB twin
+    # (queries.py repetition_filter_docs) splits identically.
+    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
 
 
 def rep_keep_col(

@@ -44,8 +44,12 @@ def canonicalize_url(url: Column) -> Column:
     """
     u = F.regexp_replace(F.trim(url), r"#.*$", "")
     scheme_host = F.lower(F.regexp_extract(u, _SCHEME_HOST_RE, 1))
-    scheme_host = F.regexp_replace(scheme_host, r"^(http://[^:/?#]*):80$", r"$1")
-    scheme_host = F.regexp_replace(scheme_host, r"^(https://[^:/?#]*):443$", r"$1")
+    # greedy .* with the anchored port: strips the FINAL :80/:443 even
+    # when the authority carries userinfo (user:pw@host:80 — the old
+    # [^:/?#]* stopped at the userinfo colon and never reached the
+    # port, splitting one page into two canonical keys)
+    scheme_host = F.regexp_replace(scheme_host, r"^(http://.*):80$", r"$1")
+    scheme_host = F.regexp_replace(scheme_host, r"^(https://.*):443$", r"$1")
     tail = F.regexp_replace(u, _SCHEME_HOST_RE, "")
     path = F.regexp_extract(tail, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)

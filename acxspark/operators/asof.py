@@ -33,37 +33,43 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, ts)
     ]
+    from pyspark.sql import types as T
+
+    # ONE struct per right row, not per-column carries: ignorenulls
+    # over independent value columns would skip a legitimately-NULL
+    # field of the latest right row and backfill it from an OLDER row
+    # — stitching together a right "row" that never existed. The
+    # struct is non-null exactly for right rows, so last(ignorenulls)
+    # attaches the latest right row WHOLESALE, NULL fields included
+    # (pandas merge_asof / DuckDB ASOF semantics).
+    r_struct_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l_tag = left.select(
         F.col(key), F.col(ts), F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns if c not in (key, ts)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in value_cols],
+        F.lit(None).cast(r_struct_t).alias("_r"),
     )
     r_tag = right.select(
         F.col(key), F.col(ts), F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (key, ts)],
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
     )
     u = l_tag.unionByName(r_tag)
     # right (_side=0) sorts before left (_side=1) at equal ts ⇒ the
     # carried value at a left row includes same-timestamp right rows;
-    # the value columns join the sort key so two right rows sharing
-    # (key, ts) resolve deterministically (max wins) instead of by
-    # partition placement
+    # the row struct joins the sort key so two right rows sharing
+    # (key, ts) resolve deterministically (max struct wins) instead of
+    # by partition placement
     w = (
         Window.partitionBy(key)
         .orderBy(F.col(ts).asc(), F.col("_side").asc(),
-                 *[F.col(f"_r_{c}").asc_nulls_first() for c in value_cols])
+                 F.col("_r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
-        "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
-    )
-    return carried.filter(F.col("_side") == 1).drop(
-        "_side", *[f"_r_{c}" for c in value_cols]
+    carried = u.withColumn("_rc", F.last(F.col("_r"), ignorenulls=True).over(w))
+    return carried.filter(F.col("_side") == 1).select(
+        *[c for c in carried.columns if c not in ("_side", "_r", "_rc")],
+        *[F.col(f"_rc.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )

@@ -45,8 +45,22 @@ def merge_prefer_newer(
     # the absent incoming side's all-NULL columns
     e = existing.select(F.lit(True).alias("_e_present"),
                         *[F.col(c).alias(f"e_{c}") for c in cols])
-    i = incoming.select(F.lit(True).alias("_i_present"),
-                        *[F.col(c).alias(f"i_{c}") for c in cols])
+    # one incoming row per key (newest ts wins, ties by max struct):
+    # duplicated keys in a batch would otherwise fan the matched
+    # existing row out N× through the join — the reference's
+    # map-backed store cannot hold duplicate keys
+    i = (
+        incoming.groupBy(F.col(key).alias(f"i_{key}"))
+        .agg(F.max(F.struct(
+            F.col(ts_col).alias(f"i_{ts_col}"),
+            *[F.col(c).alias(f"i_{c}") for c in cols
+              if c not in (key, ts_col)],
+        )).alias("_w"))
+        .select(F.col(f"i_{key}"),
+                *[F.col(f"_w.i_{c}").alias(f"i_{c}")
+                  for c in cols if c != key],
+                F.lit(True).alias("_i_present"))
+    )
     j = e.join(i, e[f"e_{key}"] == i[f"i_{key}"], "full_outer")
     take_incoming = F.col("_e_present").isNull() | (
         F.col("_i_present").isNotNull()
@@ -70,8 +84,24 @@ def merge_prefer_existing(
 ) -> DataFrame:
     """Reference strategy ``prefer-existing`` (src/merge.cpp:64-72):
     existing rows win, but an empty ``enrich_col`` is filled from the
-    incoming match; unmatched incoming rows are appended."""
+    incoming match; unmatched incoming rows are appended.
+
+    Incoming is deduplicated to one row per key first (a duplicated
+    key would fan the matched existing row out through the left join
+    — impossible in the reference's map-backed store). Among dups the
+    representative prefers a NON-EMPTY enrich value (what the
+    reference's sequential loop converges to), ties by min struct."""
     cols = existing.columns
+    incoming = (
+        incoming.groupBy(key)
+        .agg(F.min(F.struct(
+            (F.coalesce(F.col(enrich_col), F.lit("")) == "")
+            .cast("int").alias("_empty"),     # non-empty enrich first
+            *[F.col(c).alias(c) for c in cols if c != key],
+        )).alias("_w"))
+        .select(F.col(key),
+                *[F.col(f"_w.{c}").alias(c) for c in cols if c != key])
+    )
     i = incoming.select(
         F.col(key).alias(f"_ik_{key}"),
         F.col(enrich_col).alias("_i_enrich"),
@@ -186,13 +216,35 @@ def merge_edit_history(
     (CONTACT_FULL_SCHEMA) — the entry timestamp is the incoming row's
     ``ts_col`` so the result is deterministic (no wall clock)."""
     cols = existing.columns
-    e = existing.select(*[F.col(c).alias(f"e_{c}") for c in cols])
-    i = incoming.select(*[F.col(c).alias(f"i_{c}") for c in cols])
+    # presence markers, same device as merge_prefer_newer above: a
+    # PRESENT existing row whose key field is null matches nothing in
+    # the equi-join, and testing e_key.isNull() would misread it as a
+    # brand-new incoming row — wiping its data with the absent
+    # incoming side's NULL columns
+    e = existing.select(F.lit(True).alias("_e_present"),
+                        *[F.col(c).alias(f"e_{c}") for c in cols])
+    # one incoming row per key: duplicated keys in a batch would fan
+    # the matched existing row out N× through the join; newest-ts
+    # wins among the dups (the reference's sequential loop applies
+    # each in turn, so the newest lands last), ties by max struct
+    i = incoming.select(F.lit(True).alias("_i_present"),
+                        *[F.col(c).alias(f"i_{c}") for c in cols])
+    i = (
+        i.groupBy(f"i_{key}")
+        .agg(F.max(F.struct(f"i_{ts_col}",
+                            *[f"i_{c}" for c in cols
+                              if c not in (key, ts_col)],
+                            "_i_present")).alias("_w"))
+        .select(F.col(f"i_{key}"),
+                *[F.col(f"_w.i_{c}").alias(f"i_{c}")
+                  for c in cols if c != key],
+                F.col("_w._i_present").alias("_i_present"))
+    )
     j = e.join(i, e[f"e_{key}"] == i[f"i_{key}"], "full_outer")
-    is_new = F.col(f"e_{key}").isNull()
+    is_new = F.col("_e_present").isNull()
     edited = (
-        F.col(f"e_{key}").isNotNull()
-        & F.col(f"i_{key}").isNotNull()
+        F.col("_e_present").isNotNull()
+        & F.col("_i_present").isNotNull()
         & (F.col(f"i_{ts_col}") > F.col(f"e_{ts_col}"))
     )
     take_incoming = is_new | edited

@@ -60,12 +60,22 @@ def streaming_exact_dedup(
 
     dropDuplicatesWithinWatermark keys state on the sha2 content hash;
     state for a key is dropped once the watermark passes it, so memory
-    is bounded by the duplicate-arrival lag, not the corpus size."""
+    is bounded by the duplicate-arrival lag, not the corpus size.
+
+    NULL-text rows (fetch failures carrying metadata only) bypass the
+    dedup: sha2(NULL) is NULL for all of them, and the stateful dedup
+    would collapse every such record within the horizon into one
+    survivor — they are not duplicates of each other."""
     docs = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     keyed = docs.withColumn("_content_key", F.sha2(F.col(text_col), 256))
-    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        ["_content_key"]
-    ).drop("_content_key")
+    with_text = keyed.filter(F.col("_content_key").isNotNull())
+    null_text = keyed.filter(F.col("_content_key").isNull()).drop("_content_key")
+    deduped = (
+        with_text.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_key"])
+        .drop("_content_key")
+    )
+    return deduped.unionByName(null_text)
 
 
 def streaming_validate(docs: DataFrame, name_col: str, email_col: str) -> DataFrame:
@@ -126,19 +136,30 @@ def streaming_near_dup_flags(
         F.explode(band_struct_col("_mh", cfg)).alias("_b"),
     ).select(url_col, ts_col, "_sh_a", F.col("_b.band_key").alias("band_key"))
 
+    # SLIM band rows on the static side — (dup_of, band_key) longs
+    # only. Carrying the corpus shingle arrays through the band
+    # explode replicated every array lsh_bands× per micro-batch scan,
+    # exactly the byte volume the batch twin (incremental.py
+    # _cross_jaccard_edges) was rewritten to avoid; the arrays join in
+    # AFTER the band match, once per matched candidate, from the
+    # unexploded snapshot.
     corpus_bands = (
         corpus_sigs.select(
             F.col(url_col).alias("dup_of"),
             F.explode(band_struct_col("minhash", cfg)).alias("_b"),
-            F.col("shingles").alias("_sh_b"),
         )
-        .select("dup_of", F.col("_b.band_key").alias("band_key"), "_sh_b")
+        .select("dup_of", F.col("_b.band_key").alias("band_key"))
+    )
+    corpus_sh = corpus_sigs.select(
+        F.col(url_col).alias("dup_of"), F.col("shingles").alias("_sh_b")
     )
 
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size(F.array_union("_sh_a", "_sh_b"))
     matches = (
         stream_bands.join(corpus_bands, "band_key")  # stream-static
+        .select(url_col, ts_col, "_sh_a", "dup_of")
+        .join(corpus_sh, "dup_of")  # slim shingle lookup, stream-static
         .withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
         .filter(F.col("jaccard") >= cfg.jaccard_threshold)
         .select(url_col, ts_col, "dup_of", F.round("jaccard", 4).alias("jaccard"))

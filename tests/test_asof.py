@@ -40,3 +40,19 @@ def test_asof_deterministic_across_partitionings(spark):
     }
     tied = {r["tag"]: r["value_asof"] for r in a}
     assert tied["p25"] == 999.0  # max wins the equal-ts tie
+
+
+def test_asof_attaches_latest_right_row_wholesale(spark):
+    """A NULL field in the most recent right row must stay NULL — not
+    be backfilled from an older row (per-column ignorenulls used to
+    stitch together a right row that never existed)."""
+    from acxspark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 3)], ["key", "ts"])
+    right = spark.createDataFrame(
+        [("k", 1, 5.0, 9.0), ("k", 2, None, 7.0)],
+        ["key", "ts", "v", "w"],
+    )
+    row = asof_join(left, right, key="key", ts="ts").first()
+    assert row["w_asof"] == 7.0
+    assert row["v_asof"] is None   # the t=2 row's NULL, not t=1's 5.0

@@ -129,3 +129,46 @@ def test_merge_edit_history_appends_and_unions_tags(spark):
     assert c["src"] == "incoming"
     assert [h["action"] for h in c["history"]] == ["created"]
     assert c["tags"] == ["fresh"]
+
+
+def test_merge_edit_history_preserves_null_key_existing_rows(spark):
+    """A present existing row whose key is NULL must pass through
+    unchanged (presence markers, not key-null tests — the full-outer
+    'new row' branch used to wipe it to NULL columns)."""
+    from acxspark.io_paths import CONTACT_FULL_SCHEMA
+    from acxspark.operators.relational import merge_edit_history
+
+    cols = [f.name for f in CONTACT_FULL_SCHEMA.fields]
+    mk = lambda **kw: tuple(kw.get(c) for c in cols)  # noqa: E731
+    existing = spark.createDataFrame(
+        [mk(id=None, name="NoId", email="n@x.com", created_at="2026-01-01"),
+         mk(id="1", name="Ada", email="a@x.com", created_at="2026-01-01")],
+        CONTACT_FULL_SCHEMA,
+    )
+    incoming = spark.createDataFrame(
+        [mk(id="1", name="Ada II", email="a@x.com", created_at="2027-01-01")],
+        CONTACT_FULL_SCHEMA,
+    )
+    out = {r["name"]: r for r in
+           merge_edit_history(existing, incoming, "id", "created_at").collect()}
+    assert set(out) == {"NoId", "Ada II"}
+    assert out["NoId"]["email"] == "n@x.com"      # data intact
+    assert out["NoId"]["src"] == "existing"
+
+
+def test_merge_dedupes_duplicate_incoming_keys(spark):
+    """Duplicated keys in one incoming batch must not fan the matched
+    existing row out through the join — newest ts wins among dups
+    (the reference's sequential loop applies each in turn)."""
+    from acxspark.operators.relational import merge_prefer_newer
+
+    existing = spark.createDataFrame(
+        [("1", "Old", "2026-01-01")], ["id", "name", "created_at"]
+    )
+    incoming = spark.createDataFrame(
+        [("1", "Mid", "2026-06-01"), ("1", "New", "2027-01-01")],
+        ["id", "name", "created_at"],
+    )
+    rows = merge_prefer_newer(existing, incoming, "id", "created_at").collect()
+    assert len(rows) == 1
+    assert rows[0]["name"] == "New"

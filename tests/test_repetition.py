@@ -87,3 +87,20 @@ def test_rep_keep_col_matches_stats(spark):
         ).collect()
         for r in got:
             assert r["fast"] == r["ref"], (n, mg, r)
+
+
+def test_tokens_split_on_any_whitespace(spark):
+    """Repetition stats tokenize on the whitespace CLASS: newlines and
+    tabs separate words (splitting on ' ' alone merged tokens across
+    line breaks, computing stats over wrong grams)."""
+    from acxspark.functions.repetition import repetition_stats
+
+    flat = ("alpha beta " * 15).strip()
+    multiline = flat.replace(" beta ", " beta\n").replace("beta\nalpha",
+                                                          "beta\nalpha")
+    df = spark.createDataFrame([(1, flat), (2, multiline)], ["doc_id", "t"])
+    out = {r["doc_id"]: r for r in
+           repetition_stats(df, text_col="t", n=2).collect()}
+    # same word stream ⇒ identical gram counts regardless of separator
+    assert out[1]["n_grams"] == out[2]["n_grams"]
+    assert out[1]["dup_gram_frac"] == out[2]["dup_gram_frac"]
